@@ -1,0 +1,66 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openair4g_tpu.ops import turbo
+from openair4g_tpu.ops.crc import attach_crc_host
+
+
+def test_trellis_terminates():
+    rng = np.random.default_rng(0)
+    for K in (40, 64, 512):
+        bits = rng.integers(0, 2, K)
+        x, z = turbo._rsc_encode_host(bits)
+        assert len(x) == K + 3
+
+
+def test_qpp_bijection():
+    for K in (40, 128, 6144):
+        pi = turbo.qpp_interleaver(K)
+        assert len(set(pi.tolist())) == K
+
+
+@pytest.mark.parametrize("K", [40, 104, 512])
+def test_device_encoder_matches_host(K):
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, (4, K)).astype(np.int32)
+    pi = turbo.qpp_interleaver(K)
+    d_dev = np.asarray(turbo.turbo_encode_device(jnp.asarray(bits), pi))
+    for b in range(4):
+        d_host = turbo.turbo_encode_host(bits[b])
+        np.testing.assert_array_equal(d_dev[b], d_host)
+
+
+@pytest.mark.parametrize("K", [40, 136, 512])
+def test_decode_noiseless_roundtrip(K):
+    """BPSK LLRs with no noise must decode exactly, CRC pass."""
+    rng = np.random.default_rng(2)
+    B = 8
+    payload = rng.integers(0, 2, (B, K - 24))
+    bits = np.stack([attach_crc_host(p, "crc24a") for p in payload])
+    pi = turbo.qpp_interleaver(K)
+    d = np.asarray(turbo.turbo_encode_device(jnp.asarray(bits.astype(np.int32)), pi))
+    llr = (1.0 - 2.0 * d) * 4.0  # bit0 -> +4, bit1 -> -4
+    cfg = turbo.TurboDecoderConfig(K=K, n_iter=4)
+    out_bits, ok = turbo.turbo_decode(jnp.asarray(llr, jnp.float32), cfg)
+    np.testing.assert_array_equal(np.asarray(out_bits), bits)
+    assert bool(np.all(np.asarray(ok)))
+
+
+def test_decode_with_noise_moderate_snr():
+    """At Es/N0 ~ 1 dB, rate-1/3 K=512 should decode essentially always."""
+    rng = np.random.default_rng(3)
+    K, B = 512, 16
+    payload = rng.integers(0, 2, (B, K - 24))
+    bits = np.stack([attach_crc_host(p, "crc24a") for p in payload])
+    pi = turbo.qpp_interleaver(K)
+    d = np.asarray(turbo.turbo_encode_device(jnp.asarray(bits.astype(np.int32)), pi))
+    snr_db = 1.0
+    sigma = np.sqrt(1.0 / (2 * 10 ** (snr_db / 10)))
+    y = (1.0 - 2.0 * d) + sigma * rng.standard_normal(d.shape)
+    llr = 2.0 * y / sigma**2
+    cfg = turbo.TurboDecoderConfig(K=K, n_iter=8)
+    out_bits, ok = turbo.turbo_decode(jnp.asarray(llr, jnp.float32), cfg)
+    assert np.asarray(ok).mean() >= 0.9
+    good = np.asarray(ok)
+    np.testing.assert_array_equal(np.asarray(out_bits)[good], bits[good])
