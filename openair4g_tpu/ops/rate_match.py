@@ -1,0 +1,167 @@
+"""Rate matching for turbo-coded transport channels, 3GPP TS 36.212 §5.1.4.1.
+
+Reference parity: openair1/PHY/CODING/lte_rate_matching.c
+(sub_block_interleaving_turbo :51, generate_dummy_w :293,
+lte_rate_matching_turbo :464, lte_rate_matching_turbo_rx :688).
+
+TPU-native design: the whole sub-block-interleave -> circular-buffer ->
+bit-selection pipeline is data-independent given (K, F, rv, E, Ncb), so it is
+precomputed on the host as index maps once per configuration:
+
+  * TX: one gather  e = d_flat[e_src]            (E indices into the 3 streams)
+  * RX: one scatter-add  w.at[e_to_w].add(llr)   (repetition bits combine,
+    and HARQ rounds accumulate into the same persistent w buffer — the
+    reference's harq_process->w soft combining, dlsch_decoding.c:350)
+  * w -> d streams: one gather via w_of_d
+
+NULL positions (dummy padding + filler bits in streams 0/1) are never indexed.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+# 36.212 Table 5.1.4-1 inter-column permutation pattern for C_TC = 32.
+PERM32 = np.array([0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30,
+                   1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31],
+                  np.int32)
+
+NSOFT_DEFAULT = 1827072  # UE category 3 soft buffer (LTE_TRANSPORT/defs.h:62)
+
+
+@functools.lru_cache(maxsize=None)
+def _w_maps(D: int, F: int):
+    """Sub-block interleaver maps for stream length D with F filler bits.
+
+    Returns (w_src [3*Kpi] int32 index into d_flat[3*D] or -1 for NULL,
+             Kpi).
+    w layout: w[0:Kpi] = v0; w[Kpi + 2j] = v1[j]; w[Kpi + 2j + 1] = v2[j].
+    """
+    R = -(-D // 32)
+    Kpi = 32 * R
+    ND = Kpi - D
+
+    k = np.arange(Kpi)
+    c, r = k // R, k % R
+    # streams 0/1: v[k] = y[r*32 + PERM32[c]], y = [ND nulls | d]
+    y01 = r * 32 + PERM32[c]
+    # stream 2: v2[k] = y[(PERM32[k//R] + 32*(k%R) + 1) mod Kpi]
+    y2 = (PERM32[c] + 32 * r + 1) % Kpi
+
+    def to_src(ypos: np.ndarray, stream: int, has_filler_null: bool):
+        dpos = ypos - ND
+        valid = dpos >= 0
+        if has_filler_null:
+            valid &= dpos >= F
+        return np.where(valid, stream * D + dpos, -1).astype(np.int32)
+
+    v0 = to_src(y01, 0, True)
+    v1 = to_src(y01, 1, True)
+    v2 = to_src(y2, 2, False)
+
+    w_src = np.empty(3 * Kpi, np.int32)
+    w_src[:Kpi] = v0
+    w_src[Kpi::2] = v1
+    w_src[Kpi + 1::2] = v2
+    return w_src, Kpi
+
+
+def compute_ncb(K: int, C: int, *, nsoft: int = NSOFT_DEFAULT, kmimo: int = 1,
+                mdl_harq: int = 8, downlink: bool = True) -> int:
+    """Soft buffer size per code block (36.212 §5.1.4.1.2)."""
+    D = K + 4
+    Kw = 3 * (32 * (-(-D // 32)))
+    if not downlink:
+        return Kw
+    nir = nsoft // (kmimo * min(mdl_harq, 8))
+    return min(nir // C, Kw)
+
+
+def block_e_sizes(G: int, C: int, Qm: int, Nl: int = 1) -> list:
+    """Per-code-block rate-matching output sizes E (36.212 §5.1.4.1.2)."""
+    Gp = G // (Nl * Qm)
+    gamma = Gp % C
+    e_small = Nl * Qm * (Gp // C)
+    e_big = Nl * Qm * (-(-Gp // C))
+    return [e_small if r <= C - 1 - gamma else e_big for r in range(C)]
+
+
+@dataclass(frozen=True)
+class RateMatchMaps:
+    """Static index maps for one (K, F, rv, E) rate-matching configuration."""
+    K: int
+    F: int
+    rv: int
+    E: int
+    Ncb: int
+    Kw: int                 # 3 * Kpi = full circular buffer length
+    e_to_w: np.ndarray      # [E] int32: w position of each transmitted bit
+    e_src: np.ndarray       # [E] int32: index into d_flat [3*(K+4)] (TX gather)
+    w_of_d: np.ndarray      # [3*(K+4)] int32: w position of each d bit, -1 if
+                            # that d position is never in w (fillers/nulls)
+
+
+@functools.lru_cache(maxsize=None)
+def make_rate_match_maps(K: int, F: int, rv: int, E: int,
+                         Ncb: int | None = None) -> RateMatchMaps:
+    D = K + 4
+    w_src, Kpi = _w_maps(D, F)
+    Kw = 3 * Kpi
+    if Ncb is None:
+        Ncb = Kw
+    R = Kpi // 32
+
+    # k0 per 36.212: R*(2*ceil(Ncb/(8R))*rv + 2)
+    k0 = R * (2 * (-(-Ncb // (8 * R))) * rv + 2)
+
+    cyc = (k0 + np.arange(Ncb)) % Ncb
+    valid = w_src[cyc] >= 0
+    order = cyc[valid]                     # non-NULL w positions in emit order
+    reps = -(-E // len(order))
+    e_to_w = np.tile(order, reps)[:E].astype(np.int32)
+    e_src = w_src[e_to_w]
+
+    w_of_d = np.full(3 * D, -1, np.int32)
+    nonnull = w_src >= 0
+    w_of_d[w_src[nonnull]] = np.nonzero(nonnull)[0].astype(np.int32)
+    return RateMatchMaps(K=K, F=F, rv=rv, E=E, Ncb=Ncb, Kw=Kw,
+                         e_to_w=e_to_w, e_src=e_src, w_of_d=w_of_d)
+
+
+def rate_match_tx(d_flat, maps: RateMatchMaps):
+    """d_flat [B, 3*(K+4)] -> e [B, E]. One gather."""
+    import jax.numpy as jnp
+    return d_flat[:, jnp.asarray(maps.e_src)]
+
+
+def rate_match_rx(e_llr, maps: RateMatchMaps, w_soft=None):
+    """e_llr [B, E] -> (w_soft [B, Kw]).
+
+    Scatter-add into the circular buffer: repeated bits combine, and passing a
+    previous round's `w_soft` implements HARQ soft combining.
+    """
+    import jax.numpy as jnp
+    B = e_llr.shape[0]
+    if w_soft is None:
+        w_soft = jnp.zeros((B, maps.Kw), e_llr.dtype)
+    return w_soft.at[:, jnp.asarray(maps.e_to_w)].add(e_llr)
+
+
+def w_to_d_llr(w_soft, maps: RateMatchMaps, filler_big: float = 1e4):
+    """w_soft [B, Kw] -> d stream LLRs [B, 3, K+4].
+
+    Filler positions (known zero bits, streams 0/1) get +filler_big.
+    d positions that never entered w keep LLR 0 (should not happen for data).
+    """
+    import jax.numpy as jnp
+    D = maps.K + 4
+    idx = jnp.asarray(np.where(maps.w_of_d >= 0, maps.w_of_d, 0))
+    vals = w_soft[:, idx]
+    mask = jnp.asarray((maps.w_of_d >= 0).astype(np.float32))
+    d_llr = (vals * mask).reshape(-1, 3, D)
+    if maps.F:
+        # fillers: first F systematic (stream 0) bits are known zeros
+        d_llr = d_llr.at[:, 0, :maps.F].set(filler_big)
+    return d_llr

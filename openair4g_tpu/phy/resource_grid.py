@@ -1,0 +1,144 @@
+"""Downlink resource-element mapping for one subframe (36.211 §6.2/6.10).
+
+Reference parity: openair1/PHY/LTE_TRANSPORT/dlsch_modulation.c
+(allocate_REs_in_RB :139, is_not_pilot :53) and LTE_REFSIG/lte_dl_cell_spec.c.
+
+Everything here is config-time numpy: the data/pilot RE coordinates for a
+given (frame parms, n_pdcch, antenna config, subframe) are static index
+arrays; on device, grid fill/extract are single gathers/scatters.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import FrameParms
+from ..ops.gold import gold_sequence
+
+
+def pilot_symbol_indices(fp: FrameParms, port: int = 0) -> tuple:
+    """Symbols carrying cell-specific RS for port 0/1 within a subframe."""
+    if fp.normal_cp:
+        return (0, 4, 7, 11)
+    return (0, 3, 6, 9)
+
+
+def pilot_sc_positions(fp: FrameParms, sym: int, port: int = 0) -> np.ndarray:
+    """Occupied-subcarrier indices of port-`port` pilots in symbol `sym`.
+
+    v = 0 for port0 on slot-symbol 0, v = 3 on the mid-slot pilot symbol
+    (port1 is the complement). Spacing 6, offset (v + nushift) mod 6.
+    """
+    l_in_slot = sym % fp.symbols_per_slot
+    v = 0 if l_in_slot == 0 else 3
+    if port == 1:
+        v = 3 - v
+    off = (v + fp.nushift) % 6
+    return np.arange(off, fp.n_sc, 6, dtype=np.int32)
+
+
+def pilot_values(fp: FrameParms, subframe: int, sym: int) -> np.ndarray:
+    """QPSK cell-specific RS values for (subframe, symbol) per 36.211 §6.10.1.
+
+    c_init = 2^10*(7*(ns+1)+l+1)*(2*Nid+1) + 2*Nid + N_CP.
+    """
+    ns = 2 * subframe + (1 if sym >= fp.symbols_per_slot else 0)
+    l = sym % fp.symbols_per_slot
+    ncp = 1 if fp.normal_cp else 0
+    cinit = (1 << 10) * (7 * (ns + 1) + l + 1) * (2 * fp.n_id_cell + 1) \
+        + 2 * fp.n_id_cell + ncp
+    # 36.211: r(m) for m in [0, 2*N_RB_max); center-extract N_RB of them.
+    n_rb_max = 110
+    c = gold_sequence(cinit, 4 * n_rb_max).astype(np.float64)
+    m = np.arange(2 * fp.n_rb) + (n_rb_max - fp.n_rb)
+    re = (1 - 2 * c[2 * m]) / np.sqrt(2)
+    im = (1 - 2 * c[2 * m + 1]) / np.sqrt(2)
+    return (re + 1j * im).astype(np.complex64)
+
+
+@dataclass(frozen=True)
+class GridMap:
+    """Static RE coordinates for one subframe configuration."""
+    fp: FrameParms
+    n_pdcch: int
+    n_data_re: int
+    data_sym: np.ndarray     # [n_data_re] symbol index
+    data_sc: np.ndarray      # [n_data_re] occupied-subcarrier index
+    data_bin: np.ndarray     # [n_data_re] FFT bin
+    pilot_sym: np.ndarray    # [n_pilot] symbol index
+    pilot_sc: np.ndarray
+    pilot_bin: np.ndarray
+    pilot_val: np.ndarray    # [n_pilot] complex64
+
+
+@functools.lru_cache(maxsize=None)
+def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
+                  subframe: int = 7, nports: int = 1,
+                  normal_cp: bool = True) -> GridMap:
+    """Data fill order matches the reference: symbols in time order, then
+    subcarriers in frequency order (dlsch_modulation.c loops symbols outer).
+
+    With nports==1 only port-0 pilots are punctured (10 data REs/RB on pilot
+    symbols — get_G's SISO branch, lte_mcs.c:354); with nports==2 both port
+    pilot positions are skipped (8 data REs/RB).
+    """
+    fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp, n_id_cell=n_id_cell)
+    psyms = set(pilot_symbol_indices(fp))
+    data_sym, data_sc = [], []
+    for sym in range(n_pdcch, fp.symbols_per_subframe):
+        if sym in psyms:
+            skip = set(pilot_sc_positions(fp, sym, 0).tolist())
+            if nports == 2:
+                skip |= set(pilot_sc_positions(fp, sym, 1).tolist())
+        else:
+            skip = set()
+        for k in range(fp.n_sc):
+            if k not in skip:
+                data_sym.append(sym)
+                data_sc.append(k)
+    data_sym = np.asarray(data_sym, np.int32)
+    data_sc = np.asarray(data_sc, np.int32)
+
+    pilot_sym, pilot_sc, pilot_val = [], [], []
+    for sym in pilot_symbol_indices(fp):
+        for port in range(nports):
+            scs = pilot_sc_positions(fp, sym, port)
+            vals = pilot_values(fp, subframe, sym)
+            pilot_sym.append(np.full(len(scs), sym, np.int32))
+            pilot_sc.append(scs)
+            pilot_val.append(vals[:len(scs)])
+    pilot_sym = np.concatenate(pilot_sym)
+    pilot_sc = np.concatenate(pilot_sc)
+    pilot_val = np.concatenate(pilot_val)
+
+    return GridMap(fp=fp, n_pdcch=n_pdcch, n_data_re=len(data_sym),
+                   data_sym=data_sym, data_sc=data_sc,
+                   data_bin=fp.sc_to_bin(data_sc),
+                   pilot_sym=pilot_sym, pilot_sc=pilot_sc,
+                   pilot_bin=fp.sc_to_bin(pilot_sc), pilot_val=pilot_val)
+
+
+def fill_grid(symbols, gm: GridMap, with_pilots: bool = True):
+    """symbols [B, n_data_re] complex -> grid [B, nsym, n_fft] complex."""
+    import jax.numpy as jnp
+    B = symbols.shape[0]
+    fp = gm.fp
+    grid = jnp.zeros((B, fp.symbols_per_subframe, fp.n_fft), symbols.dtype)
+    grid = grid.at[:, jnp.asarray(gm.data_sym), jnp.asarray(gm.data_bin)].set(symbols)
+    if with_pilots:
+        pv = jnp.asarray(gm.pilot_val.astype(np.complex64))
+        grid = grid.at[:, jnp.asarray(gm.pilot_sym), jnp.asarray(gm.pilot_bin)].set(pv)
+    return grid
+
+
+def extract_data_res(grid, gm: GridMap):
+    """grid [B, nsym, n_fft] -> [B, n_data_re] (inverse of fill order)."""
+    import jax.numpy as jnp
+    return grid[:, jnp.asarray(gm.data_sym), jnp.asarray(gm.data_bin)]
+
+
+def extract_pilot_res(grid, gm: GridMap):
+    import jax.numpy as jnp
+    return grid[:, jnp.asarray(gm.pilot_sym), jnp.asarray(gm.pilot_bin)]
