@@ -1,0 +1,108 @@
+"""Pilot-based downlink channel estimation, 36.211 cell-specific RS.
+
+Reference parity: openair1/PHY/LTE_ESTIMATION/lte_dl_channel_estimation.c:37
+(LS at pilot REs -> fixed 24-tap FIR frequency interpolation -> linear time
+interpolation between pilot symbols, high_speed mode :643-665).
+
+TPU-native design: frequency interpolation is a **precomputed linear-MMSE
+(Wiener) matrix**: with pilots every 6 subcarriers and a uniform delay prior
+over the cyclic-prefix support, the estimator
+    H_hat = W @ LS,   W = F_d P F_p^H (F_p P F_p^H + N0 I)^{-1}
+is one [B,Np] x [Np,n_sc] complex matmul per pilot symbol — MXU work instead
+of the reference's FIR sweep, and strictly better MSE than a fixed
+interpolation filter. Time interpolation across the 4 pilot symbols is a
+precomputed [nsym, 4] weight matrix (linear, clamped at the subframe edges).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import FrameParms
+from .resource_grid import GridMap, pilot_symbol_indices
+
+
+def _signed_freq_idx(fp: FrameParms, sc: np.ndarray) -> np.ndarray:
+    half = 6 * fp.n_rb
+    return np.where(sc < half, sc - half, sc - half + 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _wiener_matrix(n_rb: int, pilot_off: int, n0: float,
+                   normal_cp: bool = True) -> np.ndarray:
+    """[Np, n_sc] complex64 Wiener interpolation matrix for pilots at
+    subcarriers pilot_off + 6m, uniform delay prior over CP+1 taps."""
+    fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
+    p_sc = np.arange(pilot_off, fp.n_sc, 6)
+    d_sc = np.arange(fp.n_sc)
+    L = fp.cp + 2                       # delay support: CP plus a guard tap
+    taps = np.arange(L)
+    fp_idx = _signed_freq_idx(fp, p_sc)[:, None]
+    fd_idx = _signed_freq_idx(fp, d_sc)[:, None]
+    Fp = np.exp(-2j * np.pi * fp_idx * taps[None, :] / fp.n_fft)
+    Fd = np.exp(-2j * np.pi * fd_idx * taps[None, :] / fp.n_fft)
+    P = 1.0 / L
+    A = (Fp * P) @ Fp.conj().T + n0 * np.eye(len(p_sc))
+    W = (Fd * P) @ Fp.conj().T @ np.linalg.inv(A)   # [n_sc, Np]
+    return W.T.astype(np.complex64)                  # ls @ W -> H
+
+
+@functools.lru_cache(maxsize=None)
+def _time_interp_weights(n_rb: int, normal_cp: bool = True) -> np.ndarray:
+    """[nsym, n_pilot_sym] linear interpolation weights (clamped at edges) —
+    the reference's high-speed mode (lte_dl_channel_estimation.c:643)."""
+    fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
+    psyms = np.asarray(pilot_symbol_indices(fp))
+    nsym = fp.symbols_per_subframe
+    Wt = np.zeros((nsym, len(psyms)), np.float32)
+    for l in range(nsym):
+        if l <= psyms[0]:
+            Wt[l, 0] = 1.0
+        elif l >= psyms[-1]:
+            Wt[l, -1] = 1.0
+        else:
+            j = np.searchsorted(psyms, l) - 1
+            t = (l - psyms[j]) / (psyms[j + 1] - psyms[j])
+            Wt[l, j] = 1.0 - t
+            Wt[l, j + 1] = t
+    return Wt
+
+
+def make_wiener_stack(gm: GridMap, n0: float) -> np.ndarray:
+    """[n_pilot_sym, Np, n_sc] complex64 Wiener matrices for each pilot
+    symbol's comb offset — host precompute, fed to the jitted step as a
+    device argument so the SNR sweep reuses one compiled program."""
+    fp = gm.fp
+    n_ps = len(pilot_symbol_indices(fp))
+    Np = gm.pilot_sc.shape[0] // n_ps
+    pilot_sc = gm.pilot_sc.reshape(n_ps, Np)
+    return np.stack([
+        _wiener_matrix(fp.n_rb, int(pilot_sc[s, 0] % 6), float(n0),
+                       fp.normal_cp)
+        for s in range(n_ps)])
+
+
+def estimate_channel(rgrid, gm: GridMap, wiener_stack):
+    """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc].
+
+    Port-0 pilots only (SISO). `wiener_stack` from make_wiener_stack.
+    """
+    fp = gm.fp
+    psyms = pilot_symbol_indices(fp)
+    n_ps = len(psyms)
+    Np = gm.pilot_sc.shape[0] // n_ps
+    pilot_sym = gm.pilot_sym.reshape(n_ps, Np)
+    pilot_bin = gm.pilot_bin.reshape(n_ps, Np)
+    pilot_val = gm.pilot_val.reshape(n_ps, Np)
+
+    h_p = []
+    for s in range(n_ps):
+        y = rgrid[:, int(pilot_sym[s, 0])][:, jnp.asarray(pilot_bin[s])]
+        ls = y * jnp.asarray(np.conj(pilot_val[s]))        # LS estimate
+        h_p.append(jnp.matmul(ls, wiener_stack[s],
+                              preferred_element_type=jnp.complex64))
+    h_p = jnp.stack(h_p, axis=1)                           # [B, n_ps, n_sc]
+    Wt = jnp.asarray(_time_interp_weights(fp.n_rb, fp.normal_cp))
+    return jnp.einsum("sp,bpk->bsk", Wt, h_p)              # [B, nsym, n_sc]

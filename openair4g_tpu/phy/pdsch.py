@@ -60,12 +60,14 @@ class DlschCodec:
         self.block_Ks = list(seg.block_sizes)
         C = seg.C
         self.Es = block_e_sizes(cfg.G, C, cfg.Qm)
-        # Ncb depends on K via Kw; compute per block.
-        self.maps: list[RateMatchMaps] = []
-        for r, K in enumerate(self.block_Ks):
-            F = seg.F if r == 0 else 0
-            self.maps.append(make_rate_match_maps(
-                K, F, cfg.rv, self.Es[r], compute_ncb(K, C)))
+        # Static maps per (redundancy version, block); Ncb depends on K.
+        self.maps_by_rv: dict[int, list[RateMatchMaps]] = {}
+        for rv in range(4):
+            self.maps_by_rv[rv] = [
+                make_rate_match_maps(K, seg.F if r == 0 else 0, rv,
+                                     self.Es[r], compute_ncb(K, C))
+                for r, K in enumerate(self.block_Ks)]
+        self.maps = self.maps_by_rv[cfg.rv]
         # payload (data) bits contributed by each block to the TB stream
         self.block_payload = []
         for r, K in enumerate(self.block_Ks):
@@ -76,8 +78,13 @@ class DlschCodec:
             (sum(self.block_payload), cfg.tbs)
 
     # ------------------------------------------------------------------ TX --
-    def encode(self, tb_bits):
-        """tb_bits [B, TBS] int32 {0,1} -> e [B, G] int32."""
+    def encode_to_d(self, tb_bits):
+        """tb_bits [B, TBS] -> list of per-block d_flat [B, 3*(K+4)].
+
+        The turbo-coded streams are rv-independent; HARQ retransmissions
+        reuse them with a different rate-matching selection (the reference
+        re-encodes only on round 0, dlsch_coding.c:286).
+        """
         cfg, seg = self.cfg, self.seg
         B = tb_bits.shape[0]
         crc_a = jnp.round(crc_device(tb_bits, "crc24a")).astype(jnp.int32)
@@ -100,12 +107,17 @@ class DlschCodec:
 
         # turbo-encode blocks grouped by K (single batched call per size)
         d_by_block = self._encode_blocks(blocks)
+        return [d.reshape(B, -1) for d in d_by_block]      # [B, 3*(K+4)] each
 
-        es = []
-        for r in range(seg.C):
-            d_flat = d_by_block[r].reshape(B, -1)          # [B, 3*(K+4)]
-            es.append(rate_match_tx(d_flat, self.maps[r]))
-        return jnp.concatenate(es, axis=1)
+    def select_e(self, d_flats, rv: int | None = None):
+        """Rate-match the encoded streams for one redundancy version."""
+        maps = self.maps_by_rv[self.cfg.rv if rv is None else rv]
+        return jnp.concatenate(
+            [rate_match_tx(d, maps[r]) for r, d in enumerate(d_flats)], axis=1)
+
+    def encode(self, tb_bits, rv: int | None = None):
+        """tb_bits [B, TBS] int32 {0,1} -> e [B, G] int32."""
+        return self.select_e(self.encode_to_d(tb_bits), rv)
 
     def _encode_blocks(self, blocks):
         by_k = {}
@@ -121,13 +133,15 @@ class DlschCodec:
         return out
 
     # ------------------------------------------------------------------ RX --
-    def decode(self, e_llr, w_soft=None):
+    def decode(self, e_llr, w_soft=None, rv: int | None = None):
         """e_llr [B, G] -> (tb_bits [B, TBS], tb_ok [B], w_soft list).
 
         `w_soft`: per-block soft buffers from a previous HARQ round (or None);
         the returned list feeds the next round (reference harq_process->w).
+        `rv` must match the transmitter's redundancy version for this round.
         """
         cfg, seg = self.cfg, self.seg
+        maps = self.maps_by_rv[cfg.rv if rv is None else rv]
         B = e_llr.shape[0]
         pos = 0
         new_w = []
@@ -136,10 +150,10 @@ class DlschCodec:
             E = self.Es[r]
             chunk = e_llr[:, pos:pos + E]
             pos += E
-            w = rate_match_rx(chunk, self.maps[r],
+            w = rate_match_rx(chunk, maps[r],
                               None if w_soft is None else w_soft[r])
             new_w.append(w)
-            d_llrs.append(w_to_d_llr(w, self.maps[r]))
+            d_llrs.append(w_to_d_llr(w, maps[r]))
 
         # decode grouped by (K, F): same trellis + CRC plan
         results = [None] * seg.C
