@@ -101,10 +101,30 @@ class ChannelModel:
         pm = jnp.asarray(self.phase_matrix)
         return jnp.matmul(taps, pm, preferred_element_type=jnp.complex64)
 
+    def freq_response_at(self, taps, f_idx: tuple):
+        """taps [B, T] -> H [B, len(f_idx)] at signed subcarrier indices
+        (uplink allocations have no DC skip, so callers pass their own grid)."""
+        if self.name == "AWGN":
+            return jnp.ones((taps.shape[0], len(f_idx)), jnp.complex64)
+        pm = jnp.asarray(self._phase_matrix_at(f_idx))
+        return jnp.matmul(taps, pm, preferred_element_type=jnp.complex64)
+
+    @functools.lru_cache(maxsize=None)
+    def _phase_matrix_at(self, f_idx: tuple) -> np.ndarray:
+        delays_us, _ = PROFILES[self.name]
+        f_hz = np.asarray(f_idx, np.float64) * 15000.0
+        tau = np.asarray(delays_us)[:, None] * 1e-6
+        return np.exp(-2j * np.pi * f_hz[None, :] * tau).astype(np.complex64)
+
 
 def apply_channel_grid(grid, H, fp: FrameParms):
     """grid [B, nsym, n_fft] x H [B, n_sc] -> faded grid (exact under CP)."""
     bins = fp.sc_to_bin(np.arange(fp.n_sc))
-    mult = jnp.zeros((H.shape[0], fp.n_fft), H.dtype)
+    return apply_channel_bins(grid, H, bins, fp.n_fft)
+
+
+def apply_channel_bins(grid, H, bins: np.ndarray, n_fft: int):
+    """grid [B, nsym, n_fft] x H [B, len(bins)] at explicit FFT bins."""
+    mult = jnp.zeros((H.shape[0], n_fft), H.dtype)
     mult = mult.at[:, jnp.asarray(bins)].set(H)
     return grid * mult[:, None, :]
