@@ -22,8 +22,8 @@ def main():
     sim = DlsimAwgn(DlsimConfig(mcs=4, n_rb=25, batch=batch, n_turbo_iter=8))
     n0 = jnp.float32(10.0 ** (-1.0 / 10.0))
 
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, batch)
+    from openair4g_tpu.utils.rng import host_keys
+    keys = jnp.asarray(host_keys(0, batch))
     # warmup / compile
     ok, _ = sim._step(keys, n0)
     jax.block_until_ready(ok)
@@ -31,7 +31,7 @@ def main():
     n_rep = 10
     t0 = time.perf_counter()
     for i in range(n_rep):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), batch)
+        keys = jnp.asarray(host_keys(0, batch, stream=i + 1))
         ok, be = sim._step(keys, n0)
     jax.block_until_ready(ok)
     dt = time.perf_counter() - t0

@@ -130,6 +130,66 @@ def make_rate_match_maps(K: int, F: int, rv: int, E: int,
                          e_to_w=e_to_w, e_src=e_src, w_of_d=w_of_d)
 
 
+@dataclass(frozen=True)
+class CCRateMatchMaps:
+    """Index maps for convolutionally-coded channels (36.212 §5.1.4.2)."""
+    D: int
+    E: int
+    Kw: int
+    e_src: np.ndarray       # [E] int32 into d_flat [3*D] (TX gather)
+    e_to_w: np.ndarray      # [E] int32 w position (RX scatter-add)
+    w_of_d: np.ndarray      # [3*D] int32 w position of each d bit
+
+
+@functools.lru_cache(maxsize=None)
+def make_cc_rate_match_maps(D: int, E: int) -> CCRateMatchMaps:
+    """CC sub-block interleaver + circular buffer (reference parity:
+    lte_rate_matching_cc / sub_block_interleaving_cc,
+    lte_rate_matching.c:133,637 — same PERM32 for all three streams,
+    w = [v0|v1|v2] concatenated, k0 = 0, NULLs skipped)."""
+    R = -(-D // 32)
+    Kpi = 32 * R
+    ND = Kpi - D
+    k = np.arange(Kpi)
+    c, r = k // R, k % R
+    ypos = r * 32 + PERM32[c]
+    dpos = ypos - ND
+    v = np.where(dpos >= 0, dpos, -1).astype(np.int32)   # same for each stream
+
+    Kw = 3 * Kpi
+    w_src = np.concatenate([np.where(v >= 0, s * D + v, -1)
+                            for s in range(3)]).astype(np.int32)
+    cyc = np.arange(Kw) % Kw
+    valid = w_src[cyc] >= 0
+    order = cyc[valid]
+    reps = -(-E // len(order))
+    e_to_w = np.tile(order, reps)[:E].astype(np.int32)
+    e_src = w_src[e_to_w]
+
+    w_of_d = np.full(3 * D, -1, np.int32)
+    nonnull = w_src >= 0
+    w_of_d[w_src[nonnull]] = np.nonzero(nonnull)[0].astype(np.int32)
+    return CCRateMatchMaps(D=D, E=E, Kw=Kw, e_src=e_src, e_to_w=e_to_w,
+                           w_of_d=w_of_d)
+
+
+def cc_rate_match_tx(d_flat, maps: CCRateMatchMaps):
+    """d_flat [B, 3*D] -> e [B, E]."""
+    import jax.numpy as jnp
+    return d_flat[:, jnp.asarray(maps.e_src)]
+
+
+def cc_rate_match_rx(e_llr, maps: CCRateMatchMaps):
+    """e_llr [B, E] -> d stream LLRs [B, 3, D] (repetition soft-combined)."""
+    import jax.numpy as jnp
+    B = e_llr.shape[0]
+    w = jnp.zeros((B, maps.Kw), e_llr.dtype)
+    w = w.at[:, jnp.asarray(maps.e_to_w)].add(e_llr)
+    idx = jnp.asarray(np.where(maps.w_of_d >= 0, maps.w_of_d, 0))
+    mask = jnp.asarray((maps.w_of_d >= 0).astype(np.float32))
+    return (w[:, idx] * mask).reshape(B, 3, maps.D)
+
+
 def rate_match_tx(d_flat, maps: RateMatchMaps):
     """d_flat [B, 3*(K+4)] -> e [B, E]. One gather."""
     import jax.numpy as jnp

@@ -84,10 +84,14 @@ def make_wiener_stack(gm: GridMap, n0: float) -> np.ndarray:
         for s in range(n_ps)])
 
 
-def estimate_channel(rgrid, gm: GridMap, wiener_stack):
+def estimate_channel(rgrid, gm: GridMap, wiener_stack, time_avg: bool = False):
     """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc].
 
     Port-0 pilots only (SISO). `wiener_stack` from make_wiener_stack.
+    time_avg=True averages the pilot-symbol estimates instead of
+    interpolating — the reference's low-speed IIR mode
+    (lte_dl_channel_estimation.c:633, ch_est_alpha), ~6 dB estimation gain
+    on quasi-static channels (needed at PBCH/low-SNR operating points).
     """
     fp = gm.fp
     psyms = pilot_symbol_indices(fp)
@@ -104,5 +108,9 @@ def estimate_channel(rgrid, gm: GridMap, wiener_stack):
         h_p.append(jnp.matmul(ls, wiener_stack[s],
                               preferred_element_type=jnp.complex64))
     h_p = jnp.stack(h_p, axis=1)                           # [B, n_ps, n_sc]
+    if time_avg:
+        h_bar = jnp.mean(h_p, axis=1, keepdims=True)
+        return jnp.broadcast_to(
+            h_bar, (h_p.shape[0], fp.symbols_per_subframe, h_p.shape[-1]))
     Wt = jnp.asarray(_time_interp_weights(fp.n_rb, fp.normal_cp))
     return jnp.einsum("sp,bpk->bsk", Wt, h_p)              # [B, nsym, n_sc]

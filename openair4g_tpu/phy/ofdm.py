@@ -39,6 +39,19 @@ def ofdm_modulate(grid, fp: FrameParms):
     return jnp.concatenate(parts, axis=-1)
 
 
+def ofdm_modulate_host(grid: np.ndarray, fp: FrameParms) -> np.ndarray:
+    """Host (numpy) version of ofdm_modulate, for config-time waveform
+    precomputes (eager jnp ops are not supported on all TPU runtimes)."""
+    x = np.fft.ifft(grid, axis=-1, norm="ortho")
+    cps = _cp_lengths(fp)
+    parts = []
+    for sym in range(fp.symbols_per_subframe):
+        cp = int(cps[sym])
+        s = x[..., sym, :]
+        parts.append(np.concatenate([s[..., -cp:], s], axis=-1))
+    return np.concatenate(parts, axis=-1)
+
+
 def ofdm_demodulate(t, fp: FrameParms):
     """time [B, samples_per_tti] -> grid [B, nsym, n_fft] (unitary FFT)."""
     cps = _cp_lengths(fp)

@@ -30,6 +30,7 @@ from ..phy.channel_est import make_wiener_stack, estimate_channel
 from ..phy.equalize import zf_equalize
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
+from ..utils.rng import host_keys
 from .channels import ChannelModel, apply_channel_grid
 
 
@@ -99,11 +100,9 @@ class DlsimAwgn:
         """Round-0 BLER at one SNR. Returns (errors, trials)."""
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
         errs = trials = 0
-        key = jax.random.PRNGKey(seed)
         n_steps = -(-n_frames // self.cfg.batch)
         for i in range(n_steps):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, self.cfg.batch)
+            keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=i))
             ok, _ = self._step(keys, n0)
             ok = np.asarray(ok)
             errs += int((~ok).sum())
@@ -226,10 +225,8 @@ class DlsimFading:
         R = self.cfg.n_harq_rounds
         errs = np.zeros(R, np.int64)
         reach = np.zeros(R, np.int64)
-        key = jax.random.PRNGKey(seed)
         for i in range(-(-n_frames // self.cfg.batch)):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, self.cfg.batch)
+            keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=i))
             e, t = self._step(keys, n0, W)
             errs += np.asarray(e, np.int64)
             reach += np.asarray(t, np.int64)

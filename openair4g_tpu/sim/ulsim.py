@@ -27,6 +27,7 @@ from ..phy.ulref import pusch_dmrs
 from ..phy import ofdm
 from ..ops.gold import gold_sequence, pusch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
+from ..utils.rng import host_keys
 from .channels import ChannelModel, apply_channel_bins
 
 
@@ -136,10 +137,8 @@ class Ulsim:
         R = self.cfg.n_harq_rounds
         errs = np.zeros(R, np.int64)
         reach = np.zeros(R, np.int64)
-        key = jax.random.PRNGKey(seed)
-        for _ in range(-(-n_frames // self.cfg.batch)):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, self.cfg.batch)
+        for i in range(-(-n_frames // self.cfg.batch)):
+            keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=i))
             e, t = self._step(keys, n0, wiener)
             errs += np.asarray(e, np.int64)
             reach += np.asarray(t, np.int64)
