@@ -70,36 +70,44 @@ def _time_interp_weights(n_rb: int, normal_cp: bool = True) -> np.ndarray:
     return Wt
 
 
-def make_wiener_stack(gm: GridMap, n0: float) -> np.ndarray:
+def _port_pilot_arrays(gm: GridMap, port: int):
+    """Per-pilot-symbol (sym, bin, val) arrays for one antenna port."""
+    own = gm.pilot_port == port
+    n_ps = len(pilot_symbol_indices(gm.fp))
+    Np = own.sum() // n_ps
+    return (gm.pilot_sym[own].reshape(n_ps, Np),
+            gm.pilot_sc[own].reshape(n_ps, Np),
+            gm.pilot_bin[own].reshape(n_ps, Np),
+            gm.pilot_val[own].reshape(n_ps, Np))
+
+
+def make_wiener_stack(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
     """[n_pilot_sym, Np, n_sc] complex64 Wiener matrices for each pilot
     symbol's comb offset — host precompute, fed to the jitted step as a
     device argument so the SNR sweep reuses one compiled program."""
     fp = gm.fp
     n_ps = len(pilot_symbol_indices(fp))
-    Np = gm.pilot_sc.shape[0] // n_ps
-    pilot_sc = gm.pilot_sc.reshape(n_ps, Np)
+    _, pilot_sc, _, _ = _port_pilot_arrays(gm, port)
     return np.stack([
         _wiener_matrix(fp.n_rb, int(pilot_sc[s, 0] % 6), float(n0),
                        fp.normal_cp)
         for s in range(n_ps)])
 
 
-def estimate_channel(rgrid, gm: GridMap, wiener_stack, time_avg: bool = False):
-    """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc].
+def estimate_channel(rgrid, gm: GridMap, wiener_stack,
+                     time_avg: bool = False, port: int = 0):
+    """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc] for one TX port.
 
-    Port-0 pilots only (SISO). `wiener_stack` from make_wiener_stack.
-    time_avg=True averages the pilot-symbol estimates instead of
-    interpolating — the reference's low-speed IIR mode
-    (lte_dl_channel_estimation.c:633, ch_est_alpha), ~6 dB estimation gain
-    on quasi-static channels (needed at PBCH/low-SNR operating points).
+    `wiener_stack` from make_wiener_stack (same port). time_avg=True
+    averages the pilot-symbol estimates instead of interpolating — the
+    reference's low-speed IIR mode (lte_dl_channel_estimation.c:633,
+    ch_est_alpha), ~6 dB estimation gain on quasi-static channels (needed
+    at PBCH/low-SNR operating points).
     """
     fp = gm.fp
     psyms = pilot_symbol_indices(fp)
     n_ps = len(psyms)
-    Np = gm.pilot_sc.shape[0] // n_ps
-    pilot_sym = gm.pilot_sym.reshape(n_ps, Np)
-    pilot_bin = gm.pilot_bin.reshape(n_ps, Np)
-    pilot_val = gm.pilot_val.reshape(n_ps, Np)
+    pilot_sym, _, pilot_bin, pilot_val = _port_pilot_arrays(gm, port)
 
     h_p = []
     for s in range(n_ps):

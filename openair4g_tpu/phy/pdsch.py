@@ -36,6 +36,7 @@ class DlschConfig:
     n_turbo_iter: int = 8
     decoder_window: int = 96
     decoder_warmup: int = 32
+    nports: int = 1            # TX antenna ports (2 => SFBC, 8 RE/RB pilots)
 
     @property
     def tbs(self) -> int:
@@ -47,7 +48,8 @@ class DlschConfig:
 
     @property
     def G(self) -> int:
-        return get_G_dl(self.n_rb, self.Qm, self.n_pdcch_symbols)
+        return get_G_dl(self.n_rb, self.Qm, self.n_pdcch_symbols,
+                        siso=self.nports == 1)
 
 
 class DlschCodec:

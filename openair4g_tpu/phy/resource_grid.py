@@ -71,6 +71,8 @@ class GridMap:
     pilot_sc: np.ndarray
     pilot_bin: np.ndarray
     pilot_val: np.ndarray    # [n_pilot] complex64
+    pilot_port: np.ndarray   # [n_pilot] antenna port of each pilot
+    nports: int = 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,7 +103,7 @@ def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
     data_sym = np.asarray(data_sym, np.int32)
     data_sc = np.asarray(data_sc, np.int32)
 
-    pilot_sym, pilot_sc, pilot_val = [], [], []
+    pilot_sym, pilot_sc, pilot_val, pilot_port = [], [], [], []
     for sym in pilot_symbol_indices(fp):
         for port in range(nports):
             scs = pilot_sc_positions(fp, sym, port)
@@ -109,15 +111,18 @@ def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
             pilot_sym.append(np.full(len(scs), sym, np.int32))
             pilot_sc.append(scs)
             pilot_val.append(vals[:len(scs)])
+            pilot_port.append(np.full(len(scs), port, np.int32))
     pilot_sym = np.concatenate(pilot_sym)
     pilot_sc = np.concatenate(pilot_sc)
     pilot_val = np.concatenate(pilot_val)
+    pilot_port = np.concatenate(pilot_port)
 
     return GridMap(fp=fp, n_pdcch=n_pdcch, n_data_re=len(data_sym),
                    data_sym=data_sym, data_sc=data_sc,
                    data_bin=fp.sc_to_bin(data_sc),
                    pilot_sym=pilot_sym, pilot_sc=pilot_sc,
-                   pilot_bin=fp.sc_to_bin(pilot_sc), pilot_val=pilot_val)
+                   pilot_bin=fp.sc_to_bin(pilot_sc), pilot_val=pilot_val,
+                   pilot_port=pilot_port, nports=nports)
 
 
 def fill_grid(symbols, gm: GridMap, with_pilots: bool = True):
@@ -130,6 +135,24 @@ def fill_grid(symbols, gm: GridMap, with_pilots: bool = True):
     if with_pilots:
         pv = jnp.asarray(gm.pilot_val.astype(np.complex64))
         grid = grid.at[:, jnp.asarray(gm.pilot_sym), jnp.asarray(gm.pilot_bin)].set(pv)
+    return grid
+
+
+def fill_grid_port(symbols, gm: GridMap, port: int):
+    """Per-antenna-port grid for MIMO TX: port-`port` data + its own pilots;
+    the other port's pilot REs stay zero (36.211 §6.10.1.2 — RS REs of one
+    port are nulled on the others; lte_dl_cell_spec.c maps each port
+    separately)."""
+    import jax.numpy as jnp
+    B = symbols.shape[0]
+    fp = gm.fp
+    grid = jnp.zeros((B, fp.symbols_per_subframe, fp.n_fft), symbols.dtype)
+    grid = grid.at[:, jnp.asarray(gm.data_sym),
+                   jnp.asarray(gm.data_bin)].set(symbols)
+    own = gm.pilot_port == port
+    pv = jnp.asarray(gm.pilot_val[own].astype(np.complex64))
+    grid = grid.at[:, jnp.asarray(gm.pilot_sym[own]),
+                   jnp.asarray(gm.pilot_bin[own])].set(pv)
     return grid
 
 

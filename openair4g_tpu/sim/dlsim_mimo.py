@@ -1,0 +1,150 @@
+"""dlsim TM2: two-port transmit diversity (SFBC) with MRC over RX antennas.
+
+Reference parity: dlsim -x 2 — dlsch_modulation.c layer1prec2A (36.211
+§6.3.4.3 SFBC), dlsch_demodulation.c dlsch_alamouti :3067 + MRC :2583,
+two-port cell-specific RS (lte_dl_cell_spec.c ports 0/1).
+
+Channel: per-trial iid flat Rayleigh h[port, rxant] (the reference's
+Rayleigh1 model, random_channel.c), constant over the subframe — TM2's
+diversity gain is exactly what this exercises. Channel estimation runs
+per port from its own pilot comb (the other port is silent there).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import FrameParms
+from ..utils.rng import host_keys
+from ..phy.pdsch import DlschConfig, DlschCodec
+from ..phy.resource_grid import make_grid_map, fill_grid_port, extract_data_res
+from ..phy.channel_est import make_wiener_stack, estimate_channel
+from ..phy.alamouti import sfbc_encode, sfbc_combine
+from ..phy import ofdm
+from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
+from ..ops.llr import map_symbols, demap_llr
+
+
+@dataclass(frozen=True)
+class DlsimTxDivConfig:
+    mcs: int = 4
+    n_rb: int = 25
+    n_rx: int = 2
+    n_pdcch_symbols: int = 1
+    subframe: int = 7
+    rnti: int = 0x1234
+    n_id_cell: int = 0
+    n_turbo_iter: int = 8
+    batch: int = 64
+    perfect_ce: bool = False
+
+
+class DlsimTxDiv:
+    def __init__(self, cfg: DlsimTxDivConfig):
+        self.cfg = cfg
+        self.dlsch = DlschCodec(DlschConfig(
+            mcs=cfg.mcs, n_rb=cfg.n_rb,
+            n_pdcch_symbols=cfg.n_pdcch_symbols,
+            n_turbo_iter=cfg.n_turbo_iter, nports=2))
+        self.fp = FrameParms(n_rb=cfg.n_rb, n_id_cell=cfg.n_id_cell)
+        self.gm = make_grid_map(cfg.n_rb, cfg.n_pdcch_symbols,
+                                cfg.n_id_cell, cfg.subframe, nports=2)
+        G = self.dlsch.cfg.G
+        assert self.gm.n_data_re * self.dlsch.cfg.Qm == G
+        # SFBC pairs must be frequency-adjacent: data REs are filled
+        # symbol-major then subcarrier order, so consecutive entries pair up.
+        cinit = pdsch_cinit(cfg.rnti, 0, 2 * cfg.subframe, cfg.n_id_cell)
+        self.scr_seq = gold_sequence(cinit, G)
+        self._step = jax.jit(self._trial_step)
+
+    def _trial_step(self, keys, n0, wiener0, wiener1):
+        cfg = self.cfg
+        codec = self.dlsch
+        B = keys.shape[0]
+        Qm = codec.cfg.Qm
+        splits = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+        k_bits, k_ch, k_noise = splits[:, 0], splits[:, 1], splits[:, 2]
+        tb = jax.vmap(lambda k: jax.random.bernoulli(
+            k, 0.5, (codec.cfg.tbs,)))(k_bits).astype(jnp.int32)
+
+        # --- TX: encode -> scramble -> map -> SFBC -> per-port grids -------
+        e = codec.encode(tb)
+        e = scramble_bits(e, self.scr_seq)
+        sym = map_symbols(e, Qm).astype(jnp.complex64)
+        p0, p1 = sfbc_encode(sym)
+        g0 = fill_grid_port(p0, self.gm, 0)
+        g1 = fill_grid_port(p1, self.gm, 1)
+        t0 = ofdm.ofdm_modulate(g0, self.fp)
+        t1 = ofdm.ofdm_modulate(g1, self.fp)
+
+        # --- channel: flat Rayleigh [B, 2 ports, R rx], subframe-constant --
+        R = cfg.n_rx
+        hr = jax.vmap(lambda k: jax.random.normal(k, (2, R, 2)))(k_ch)
+        h = (hr[..., 0] + 1j * hr[..., 1]) / np.sqrt(2)      # [B, 2, R]
+        nr = jax.vmap(lambda k: jax.random.normal(
+            k, (R,) + t0.shape[1:] + (2,)))(k_noise)
+        noise = jnp.sqrt(n0 / 2) * (nr[..., 0] + 1j * nr[..., 1])
+        rx = (h[:, 0, :, None] * t0[:, None, :]
+              + h[:, 1, :, None] * t1[:, None, :]) + noise   # [B, R, T]
+
+        # --- RX: per-antenna OFDM demod + per-port channel estimation ------
+        rgrids = jax.vmap(lambda r: ofdm.ofdm_demodulate(r, self.fp),
+                          in_axes=1, out_axes=1)(rx)          # [B,R,nsym,nfft]
+        ys, h0s, h1s = [], [], []
+        for r in range(R):
+            rg = rgrids[:, r]
+            ys.append(extract_data_res(rg, self.gm))
+            if cfg.perfect_ce:
+                n_re = self.gm.n_data_re
+                h0s.append(jnp.broadcast_to(h[:, 0, r, None], (B, n_re)))
+                h1s.append(jnp.broadcast_to(h[:, 1, r, None], (B, n_re)))
+            else:
+                H0 = estimate_channel(rg, self.gm, wiener0, time_avg=True,
+                                      port=0)
+                H1 = estimate_channel(rg, self.gm, wiener1, time_avg=True,
+                                      port=1)
+                ds, dc = jnp.asarray(self.gm.data_sym), jnp.asarray(
+                    self.gm.data_sc)
+                h0s.append(H0[:, ds, dc])
+                h1s.append(H1[:, ds, dc])
+        y = jnp.stack(ys, axis=1)                            # [B, R, N]
+        h0 = jnp.stack(h0s, axis=1)
+        h1 = jnp.stack(h1s, axis=1)
+
+        x_hat, n0_eff = sfbc_combine(y, h0, h1, n0)
+        llr = demap_llr(x_hat, n0_eff, Qm).reshape(B, -1)
+        llr = unscramble_llrs(llr, self.scr_seq)
+        tb_hat, tb_ok, _ = codec.decode(llr)
+        bit_errs = jnp.sum(jnp.abs(tb_hat - tb), axis=1)
+        return tb_ok, bit_errs
+
+    def run_snr(self, snr_db: float, n_frames: int, seed: int = 0):
+        n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
+        w0 = jnp.asarray(make_wiener_stack(self.gm, float(n0) / 4, port=0))
+        w1 = jnp.asarray(make_wiener_stack(self.gm, float(n0) / 4, port=1))
+        errs = trials = 0
+        for i in range(-(-n_frames // self.cfg.batch)):
+            keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=i))
+            ok, _ = self._step(keys, n0, w0, w1)
+            ok = np.asarray(ok)
+            errs += int((~ok).sum())
+            trials += len(ok)
+        return errs, trials
+
+    def sweep(self, snrs, n_frames: int, seed: int = 0, verbose: bool = True,
+              early_exit: bool = True):
+        rows = []
+        for s in snrs:
+            errs, trials = self.run_snr(float(s), n_frames, seed)
+            bler = errs / max(trials, 1)
+            rows.append((float(s), np.array([errs]), np.array([trials]),
+                         np.array([bler])))
+            if verbose:
+                print(f"SNR {s:+6.2f} dB: bler {bler:.4f} ({errs}/{trials})",
+                      flush=True)
+            if early_exit and errs == 0:
+                break
+        return rows
