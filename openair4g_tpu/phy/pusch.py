@@ -43,6 +43,7 @@ class UlschConfig:
     n_turbo_iter: int = 8
     decoder_window: int = 96
     decoder_warmup: int = 32
+    g_override: int | None = None   # set when UCI steals REs (ops/uci.py)
 
     @property
     def tbs(self) -> int:
@@ -58,6 +59,8 @@ class UlschConfig:
 
     @property
     def G(self) -> int:
+        if self.g_override is not None:
+            return self.g_override
         return self.n_data_symbols * 12 * self.n_rb_alloc * self.Qm
 
 

@@ -97,9 +97,17 @@ def pusch_fill_grid(sym, pm: PuschMap, dmrs_val: np.ndarray):
     symbol, and writes DMRS on the two pilot symbols.
     """
     B = sym.shape[0]
-    fp = pm.fp
     C, M = len(pm.data_syms), pm.m_sc
     x = sym[:, jnp.asarray(pm.interleave)].reshape(B, C, M)
+    return pusch_fill_grid_x(x, pm, dmrs_val)
+
+
+def pusch_fill_grid_x(x, pm: PuschMap, dmrs_val: np.ndarray):
+    """x [B, C, M] pre-interleaved modulation symbols (e.g. from
+    ops/uci.uci_multiplex) -> grid [B, nsym, n_fft]."""
+    B = x.shape[0]
+    fp = pm.fp
+    C, M = len(pm.data_syms), pm.m_sc
     xf = transform_precode(x)
     grid = jnp.zeros((B, fp.symbols_per_subframe, fp.n_fft), jnp.complex64)
     grid = grid.at[:, jnp.asarray(pm.data_syms)[:, None],
