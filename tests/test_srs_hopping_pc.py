@@ -1,0 +1,135 @@
+"""SRS sounding, UL hopping patterns, and power control (reference:
+srs_modulation.c, group_hopping.c, pusch_pc.c/pucch_pc.c)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from openair4g_tpu.config import FrameParms
+from openair4g_tpu.phy.hopping import (group_hop_pattern, pusch_group_number,
+                                       dmrs_cs_hop_pattern, pusch_dmrs_slots,
+                                       f_ss_pusch)
+from openair4g_tpu.phy.srs import (SrsConfig, srs_sequence, srs_bins,
+                                   srs_fill_symbol, srs_estimate)
+from openair4g_tpu.phy.power_control import (pusch_power_dbm, delta_tf_db,
+                                             pucch_power_dbm, ClosedLoopState,
+                                             PrachRamping)
+
+
+class TestHopping:
+    def test_group_pattern_range_and_determinism(self):
+        p = group_hop_pattern(123)
+        assert p.shape == (20,) and (p >= 0).all() and (p < 30).all()
+        np.testing.assert_array_equal(p, group_hop_pattern(123))
+        assert (group_hop_pattern(5, enabled=False) == 0).all()
+        # cells sharing Nid/30 share f_gh (spec property)
+        np.testing.assert_array_equal(group_hop_pattern(60),
+                                      group_hop_pattern(89))
+
+    def test_group_number_combines_fgh_fss(self):
+        nid = 77
+        for ns in (0, 7, 19):
+            u = pusch_group_number(nid, ns)
+            expected = (int(group_hop_pattern(nid)[ns])
+                        + f_ss_pusch(nid)) % 30
+            assert u == expected
+
+    def test_cs_hop_range(self):
+        p = dmrs_cs_hop_pattern(301)
+        assert p.shape == (20,) and (p >= 0).all() and (p < 12).all()
+
+    def test_dmrs_slots_hop_and_unit_modulus(self):
+        d = pusch_dmrs_slots(144, nid_cell=301, subframe=3)
+        assert d.shape == (2, 144)
+        np.testing.assert_allclose(np.abs(d), 1.0, atol=1e-5)
+        # with hopping the two slots use different sequences
+        assert not np.allclose(d[0], d[1])
+        # hopping off + no CS => both slots identical and match ulref
+        d0 = pusch_dmrs_slots(144, 0, 0, group_hopping=False,
+                              cs_hopping=False)
+        from openair4g_tpu.phy.ulref import pusch_dmrs
+        np.testing.assert_allclose(d0[0], pusch_dmrs(144, u=0), atol=1e-6)
+        np.testing.assert_allclose(d0[0], d0[1], atol=1e-6)
+
+
+class TestSrs:
+    def test_comb_and_sequence(self):
+        cfg = SrsConfig(n_rb=25, srs_bw_rb=20, rb_offset=2, k_tc=1, n_cs=3)
+        assert cfg.m_sc == 120
+        s = srs_sequence(cfg)
+        np.testing.assert_allclose(np.abs(s), 1.0, atol=1e-5)
+        b = srs_bins(cfg)
+        fp = FrameParms(n_rb=25)
+        f = np.where(b >= fp.n_fft // 2, b - fp.n_fft, b)
+        assert (np.diff(np.sort(f)) == 2).all()          # comb-2
+        assert f.min() == 2 * 12 - 150 + 1               # offset + comb
+
+    def test_sounding_roundtrip_awgn(self):
+        cfg = SrsConfig(n_rb=25, srs_bw_rb=20)
+        fp = FrameParms(n_rb=25)
+        B = 8
+        tx = srs_fill_symbol(cfg, B, fp.n_fft)
+        key = jax.random.PRNGKey(0)
+        h = jnp.asarray([0.8 - 0.6j])                    # flat channel
+        n0 = 0.01
+        nr = jax.random.normal(key, (B, fp.n_fft, 2))
+        rx = tx * h + jnp.sqrt(n0 / 2) * (nr[..., 0] + 1j * nr[..., 1])
+        H, snr_db, t_off = srs_estimate(rx, cfg)
+        err = np.abs(np.asarray(H) - np.asarray(h)).mean()
+        assert err < 0.3, err
+        assert (np.asarray(snr_db) > 12).all(), snr_db   # true 20 dB
+        assert (np.abs(np.asarray(t_off)) < 1).all()
+
+    def test_timing_offset_detected(self):
+        cfg = SrsConfig(n_rb=25, srs_bw_rb=20)
+        fp = FrameParms(n_rb=25)
+        tx = srs_fill_symbol(cfg, 2, fp.n_fft)
+        # delay of 8 samples = linear phase over the comb
+        bins = srs_bins(cfg)
+        f = np.where(bins >= fp.n_fft // 2, bins - fp.n_fft, bins)
+        delay = 8
+        rot = np.exp(-2j * np.pi * f * delay / fp.n_fft)
+        rx = tx.at[:, jnp.asarray(bins)].multiply(jnp.asarray(rot))
+        _, _, t_off = srs_estimate(rx, cfg)
+        np.testing.assert_allclose(np.asarray(t_off), delay, atol=1.0)
+
+    def test_comb_separation(self):
+        """Two UEs on opposite combs do not interfere."""
+        c0 = SrsConfig(n_rb=25, srs_bw_rb=20, k_tc=0)
+        c1 = SrsConfig(n_rb=25, srs_bw_rb=20, k_tc=1, u=5)
+        fp = FrameParms(n_rb=25)
+        rx = srs_fill_symbol(c0, 1, fp.n_fft) + \
+            2.0 * srs_fill_symbol(c1, 1, fp.n_fft)
+        H0, snr0, _ = srs_estimate(rx, c0)
+        np.testing.assert_allclose(np.asarray(H0), 1.0, atol=1e-4)
+
+
+class TestPowerControl:
+    def test_pusch_open_loop(self):
+        # 10log10(50) ~ 17 dB + P0 -85 + 0.8*110 = 20 dBm
+        p = pusch_power_dbm(50, -85.0, 0.8, 110.0)
+        assert abs(p - (10 * np.log10(50) - 85 + 88)) < 1e-9
+        assert pusch_power_dbm(100, -60.0, 1.0, 120.0) == 23.0   # capped
+
+    def test_delta_tf(self):
+        assert delta_tf_db(0, 100, ks=0) == 0.0
+        # BPRE=2 @ Ks=1.25 -> 10log10(2^2.5 - 1) ~ 6.8 dB
+        assert abs(delta_tf_db(200, 100) - 10 * np.log10(2 ** 2.5 - 1)) < 1e-6
+
+    def test_pucch_and_tpc(self):
+        assert pucch_power_dbm(-96.0, 100.0) == 4.0
+        st = ClosedLoopState()
+        st.apply_tpc(3)
+        st.apply_tpc(0)
+        assert st.f_db == 2.0
+        st2 = ClosedLoopState(accumulate=False)
+        st2.apply_tpc(3)
+        assert st2.f_db == 4.0
+
+    def test_prach_ramping(self):
+        pr = PrachRamping(target_rx_dbm=-104.0, step_db=2.0)
+        p0 = pr.next_power_dbm(100.0)
+        p1 = pr.next_power_dbm(100.0)
+        assert p0 == -4.0 and p1 == -2.0
+        pr2 = PrachRamping(target_rx_dbm=-90.0)
+        assert pr2.next_power_dbm(130.0) == 23.0         # Pcmax cap
