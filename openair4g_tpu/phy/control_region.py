@@ -69,10 +69,31 @@ def _pcfich_reg_indices(fp: FrameParms) -> np.ndarray:
     return np.asarray(idx, np.int32)
 
 
+def phich_reg_indices(fp: FrameParms, n_group: int = 1) -> list:
+    """Symbol-0 REG-list indices used by n_group PHICH groups, avoiding the
+    PCFICH REGs (36.211 §6.9.3 spread pattern: n_bar_i offsets of
+    floor(n_reg/3))."""
+    regs = _regs_in_symbol(fp, 0)
+    taken = set(int(i) for i in _pcfich_reg_indices(fp))
+    avail = [i for i in range(len(regs)) if i not in taken]
+    n_avail = len(avail)
+    out = []
+    for g in range(n_group):
+        idx = []
+        for i in range(3):
+            k = (fp.n_id_cell + g + i * (n_avail // 3)) % n_avail
+            while avail[k] in taken:
+                k = (k + 1) % n_avail
+            taken.add(avail[k])
+            idx.append(avail[k])
+        out.append(idx)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def make_control_region_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
-                            nports: int = 2,
-                            normal_cp: bool = True) -> ControlRegionMap:
+                            nports: int = 2, normal_cp: bool = True,
+                            n_phich_groups: int = 0) -> ControlRegionMap:
     fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp, n_id_cell=n_id_cell)
     # collect all REGs as (sym, [4 sc]) in symbol-major order
     reg_sym, reg_sc = [], []
@@ -80,6 +101,10 @@ def make_control_region_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
     sym0 = _regs_in_symbol(fp, 0, nports)
     for i in _pcfich_reg_indices(fp):
         pcfich_regs.add(int(i))
+    # PHICH REGs (if any) are not available to the PDCCH either
+    sym0_taken = set(pcfich_regs)
+    for g in phich_reg_indices(fp, n_phich_groups):
+        sym0_taken |= set(g)
 
     pcfich_sym, pcfich_sc = [], []
     for i in sorted(pcfich_regs):
@@ -89,7 +114,7 @@ def make_control_region_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
     for sym in range(n_pdcch):
         regs = _regs_in_symbol(fp, sym, nports) if sym else sym0
         for i, quad in enumerate(regs):
-            if sym == 0 and i in pcfich_regs:
+            if sym == 0 and i in sym0_taken:
                 continue
             reg_sym.append(sym)
             reg_sc.append(quad)

@@ -79,21 +79,12 @@ def phich_reg_positions(n_rb: int, nid_cell: int, n_group: int = 1):
     """Symbol-0 REG subcarrier quadruplets for n_group PHICH groups
     (36.211 §6.9.3 mapping, simplified to the non-colliding REGs after
     PCFICH, spread maximally across the band like the spec's
-    n_bar_i = (Nid + i*floor(n_reg/3)) pattern)."""
-    from .control_region import _regs_in_symbol, _pcfich_reg_indices
+    n_bar_i = (Nid + i*floor(n_reg/3)) pattern). Shares the REG choice
+    with control_region.make_control_region_map(n_phich_groups=...) so the
+    PDCCH never collides with the PHICH."""
+    from .control_region import _regs_in_symbol, phich_reg_indices
     fp = FrameParms(n_rb=n_rb, n_id_cell=nid_cell)
     regs = _regs_in_symbol(fp, 0)
-    taken = set(int(i) for i in _pcfich_reg_indices(fp))
-    avail = [i for i in range(len(regs)) if i not in taken]
-    out = []
-    n_avail = len(avail)
-    for g in range(n_group):
-        idx = []
-        for i in range(3):
-            k = (nid_cell + g + i * (n_avail // 3)) % n_avail
-            while avail[k] in taken:
-                k = (k + 1) % n_avail
-            taken.add(avail[k])
-            idx.append(avail[k])
-        out.append(np.concatenate([regs[i] for i in idx]))
+    out = [np.concatenate([regs[i] for i in idx])
+           for idx in phich_reg_indices(fp, n_group)]
     return np.stack(out)     # [n_group, 12] subcarrier indices in symbol 0

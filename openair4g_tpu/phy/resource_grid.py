@@ -78,16 +78,24 @@ class GridMap:
 @functools.lru_cache(maxsize=None)
 def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
                   subframe: int = 7, nports: int = 1,
-                  normal_cp: bool = True) -> GridMap:
+                  normal_cp: bool = True,
+                  rb_alloc: tuple | None = None) -> GridMap:
     """Data fill order matches the reference: symbols in time order, then
     subcarriers in frequency order (dlsch_modulation.c loops symbols outer).
 
     With nports==1 only port-0 pilots are punctured (10 data REs/RB on pilot
     symbols — get_G's SISO branch, lte_mcs.c:354); with nports==2 both port
     pilot positions are skipped (8 data REs/RB).
+
+    rb_alloc = (rb_start, n_prb) restricts the *data* REs to a contiguous
+    VRB allocation (DCI format 1A type-2); pilots stay full-band.
     """
     fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp, n_id_cell=n_id_cell)
     psyms = set(pilot_symbol_indices(fp))
+    if rb_alloc is None:
+        k_lo, k_hi = 0, fp.n_sc
+    else:
+        k_lo, k_hi = rb_alloc[0] * 12, (rb_alloc[0] + rb_alloc[1]) * 12
     data_sym, data_sc = [], []
     for sym in range(n_pdcch, fp.symbols_per_subframe):
         if sym in psyms:
@@ -96,7 +104,7 @@ def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
                 skip |= set(pilot_sc_positions(fp, sym, 1).tolist())
         else:
             skip = set()
-        for k in range(fp.n_sc):
+        for k in range(k_lo, k_hi):
             if k not in skip:
                 data_sym.append(sym)
                 data_sc.append(k)

@@ -1,0 +1,3 @@
+"""Per-TTI PHY procedures (the reference's openair1/SCHED layer)."""
+from .enb_tx import CellConfig, EnbTx                      # noqa: F401
+from .ue_rx import UeRx                                    # noqa: F401
