@@ -1,0 +1,282 @@
+"""oaisim equivalent: N-eNB x M-UE system emulation without radio hardware.
+
+Reference parity: targets/SIMU/USER/oaisim.c (per-slot loop: MAC scheduler
+-> phy_procedures_eNB_lte / phy_procedures_UE_lte, then do_DL_sig channel
+coupling, channel_sim.c:81), with the two fidelity modes of the reference:
+  * abstraction mode (-a): freq_channel -> compute_sinr (abstraction.c:190)
+    -> EESM effective SINR -> BLER table -> coin flip (dlsch_decoding.c:524)
+  * full PHY mode: bit-level TX/RX through the superposition of all
+    eNB->UE links (multipath_channel coupling of every pair)
+plus OMG-style mobility (random walk) and OTG-style traffic (full buffer /
+on-off), and a round-robin MAC allocator standing in for
+eNB_dlsch_ulsch_scheduler.
+
+TPU-native: the UE axis is the batch axis. One jitted TTI step advances
+every UE of every cell at once: per-link Doppler-evolved channel taps ride
+a [n_ue, n_enb] tensor, SINR/EESM/BLER-draw are elementwise, and the full
+PHY mode vmaps the complete receiver over UEs. Mobility/scheduling are
+10 ms host-side updates (like the reference's per-frame OMG step). The
+oaisim -M multi-machine axis maps to sharding the UE batch over the mesh
+(parallel/sweep.py), psum-reducing the throughput/BLER accumulators.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import FrameParms
+from ..tables.tbs import get_TBS_DL, get_Qm
+from ..utils.rng import host_keys
+from .channels import ChannelModel
+from .abstraction import eesm, BlerTable, draw_block_errors
+
+# EESM beta calibration per modulation order (tunable; the reference
+# carries per-MCS beta1/beta2 tables in dlsch_decoding.c:524+)
+EESM_BETA = {2: 1.6, 4: 5.0, 6: 18.0}
+
+# Coarse AWGN BLER anchors (SNR dB at BLER 0.5 / 0.1 / 0.01) from
+# BASELINE.md's reference-curve extraction; calibrate_bler_table() produces
+# exact curves from this framework's own dlsim when fidelity matters.
+_BLER_ANCHORS = {
+    0: (-2.8, -2.3, 0.3),
+    4: (0.2, 0.6, 3.1),
+    10: (4.8, 5.3, 9.1),
+    17: (9.7, 10.2, 11.3),
+    25: (15.6, 16.0, 16.3),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def default_bler_table(mcs: int) -> BlerTable:
+    """Piecewise curve through the nearest anchor MCS (shifted by the
+    spectral-efficiency delta); good enough for system-level emulation."""
+    anchors = sorted(_BLER_ANCHORS)
+    near = min(anchors, key=lambda a: abs(a - mcs))
+    s50, s10, s01 = _BLER_ANCHORS[near]
+    shift = 0.8 * (mcs - near)       # ~0.8 dB per MCS step within a band
+    snr = np.array([s50 - 3, s50, s10, s01, s01 + 2]) + shift
+    bler = np.array([1.0, 0.5, 0.1, 0.01, 1e-4])
+    return BlerTable(snr, bler)
+
+
+@dataclass(frozen=True)
+class OaisimConfig:
+    n_enb: int = 2
+    n_ue: int = 8
+    n_rb: int = 25
+    mcs: int = 4
+    channel: str = "EPA"
+    mode: str = "abstraction"        # "abstraction" | "phy"
+    tx_power_db: float = 0.0         # eNB TX power over noise at d_ref
+    pathloss_exp: float = 3.5
+    d_ref: float = 100.0             # distance with 0 dB pathloss
+    cell_spacing: float = 500.0
+    speed_mps: float = 1.0
+    traffic: str = "full"            # "full" | "onoff"
+    onoff_p: float = 0.5
+    n_turbo_iter: int = 6
+    seed: int = 0
+
+
+class Oaisim:
+    """System emulator: frames of 10 TTIs, host mobility/scheduling,
+    device PHY (abstraction or bit-level)."""
+
+    def __init__(self, cfg: OaisimConfig, bler_table: BlerTable | None = None):
+        self.cfg = cfg
+        self.fp = FrameParms(n_rb=cfg.n_rb)
+        self.tbs = get_TBS_DL(cfg.mcs, cfg.n_rb)
+        self.Qm = get_Qm(cfg.mcs)
+        self.beta = EESM_BETA[self.Qm]
+        self.table = bler_table or default_bler_table(cfg.mcs)
+        self.chan = ChannelModel(name=cfg.channel, fp=self.fp)
+        self.rng = np.random.default_rng(cfg.seed)
+
+        # topology: eNBs on a line, UEs uniform in the deployment area
+        self.enb_xy = np.stack([np.arange(cfg.n_enb) * cfg.cell_spacing,
+                                np.zeros(cfg.n_enb)], axis=1)
+        span = max(cfg.cell_spacing * cfg.n_enb, cfg.cell_spacing)
+        self.ue_xy = np.stack([
+            self.rng.uniform(-cfg.cell_spacing / 2, span, cfg.n_ue),
+            self.rng.uniform(-cfg.cell_spacing / 2, cfg.cell_spacing / 2,
+                             cfg.n_ue)], axis=1)
+        self._update_links()
+
+        # per-link fading state [n_ue, n_enb, taps...]
+        keys = jnp.asarray(host_keys(cfg.seed, cfg.n_ue * cfg.n_enb))
+        self.taps = self.chan.draw_taps(keys, cfg.n_ue * cfg.n_enb)
+        # RB-center frequency offsets for the SINR grid
+        self.f_rb = tuple((np.arange(cfg.n_rb) * 12 + 6 - 6 * cfg.n_rb
+                           ).tolist())
+        self._tti = jax.jit(self._tti_step_abs)
+        if cfg.mode == "phy":
+            self._init_phy_mode()
+        self.stats = dict(tb_sent=np.zeros(cfg.n_ue, np.int64),
+                          tb_err=np.zeros(cfg.n_ue, np.int64),
+                          bits_ok=np.zeros(cfg.n_ue, np.int64))
+        self._frame = 0
+
+    # ----------------------------------------------------------- topology --
+    def _update_links(self):
+        cfg = self.cfg
+        d = np.linalg.norm(self.ue_xy[:, None, :] - self.enb_xy[None, :, :],
+                           axis=-1)
+        d = np.maximum(d, 10.0)
+        pl_db = 10.0 * cfg.pathloss_exp * np.log10(d / cfg.d_ref)
+        self.p_rx = 10.0 ** ((cfg.tx_power_db - pl_db) / 10.0)  # [U, E]
+        self.serving = np.argmax(self.p_rx, axis=1)              # [U]
+
+    def _mobility_step(self):
+        """OMG random walk, one frame (10 ms)."""
+        step = self.cfg.speed_mps * 0.01
+        self.ue_xy += self.rng.normal(0, step, self.ue_xy.shape)
+        self._update_links()
+
+    def _schedule(self, tti: int) -> np.ndarray:
+        """Round-robin MAC: each eNB serves one attached UE per TTI.
+        Returns mask [n_ue] of scheduled UEs."""
+        cfg = self.cfg
+        mask = np.zeros(cfg.n_ue, bool)
+        if cfg.traffic == "onoff":
+            active = self.rng.random(cfg.n_ue) < cfg.onoff_p
+        else:
+            active = np.ones(cfg.n_ue, bool)
+        for e in range(cfg.n_enb):
+            ues = np.nonzero((self.serving == e) & active)[0]
+            if len(ues):
+                mask[ues[tti % len(ues)]] = True
+        return mask
+
+    # ----------------------------------------------- abstraction-mode TTI --
+    def _tti_step_abs(self, taps, keys, p_rx, serving_onehot, sched):
+        """One abstraction-mode TTI for all UEs.
+
+        taps: [U*E, ...] fading state; p_rx [U, E]; serving_onehot [U, E];
+        sched [U] bool. Returns (new_taps, err [U] bool)."""
+        cfg = self.cfg
+        U, E = cfg.n_ue, cfg.n_enb
+        ev_keys = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        taps = self.chan.evolve_taps(taps, ev_keys[:, 0])
+        H = self.chan.freq_response_at(taps, self.f_rb)      # [U*E, n_rb]
+        g = (jnp.abs(H) ** 2).reshape(U, E, -1) * p_rx[:, :, None]
+        sig = jnp.sum(serving_onehot[:, :, None] * g, axis=1)
+        intf = jnp.sum(g, axis=1) - sig
+        sinr = sig / (intf + 1.0)                            # n0 = 1
+        eff = eesm(sinr, self.beta)                          # [U]
+        bler = self.table.lookup(eff)
+        err = draw_block_errors(ev_keys[:, 1][0], bler)      # one key is fine
+        return taps, err & sched, eff
+
+    # ------------------------------------------------------- PHY-mode TTI --
+    def _init_phy_mode(self):
+        from ..phy.pdsch import DlschConfig, DlschCodec
+        from ..phy.resource_grid import make_grid_map
+        from ..phy.channel_est import make_wiener_stack
+        cfg = self.cfg
+        self.codec = DlschCodec(DlschConfig(
+            mcs=cfg.mcs, n_rb=cfg.n_rb, n_pdcch_symbols=1,
+            n_turbo_iter=cfg.n_turbo_iter))
+        # per-eNB grid maps (distinct cell IDs -> distinct pilots)
+        self.gms = [make_grid_map(cfg.n_rb, 1, e, subframe=7)
+                    for e in range(cfg.n_enb)]
+        # noise floor is 1.0 by construction; time_avg -> n0/4 prior
+        self.wieners = [jnp.asarray(make_wiener_stack(gm, 0.25))
+                        for gm in self.gms]
+        self._phy = jax.jit(self._tti_step_phy)
+
+    def _tti_step_phy(self, taps, keys, p_rx, serving, sched, wieners):
+        """Bit-level TTI: every eNB transmits a PDSCH subframe to its
+        scheduled UE; every UE receives the superposition of all eNBs
+        through its own per-link channels."""
+        from ..phy.resource_grid import fill_grid
+        from ..phy.channel_est import estimate_channel
+        from ..ops.llr import map_symbols, demap_llr
+        from ..phy import ofdm
+        cfg = self.cfg
+        U, E = cfg.n_ue, cfg.n_enb
+        ev = jax.vmap(lambda k: jax.random.split(k, 3))(keys)   # [U*E, 3, 2]
+        taps = self.chan.evolve_taps(taps, ev[:, 0])
+
+        # eNB TX: one TB per eNB (for its scheduled UE)
+        tb = jax.vmap(lambda k: jax.random.bernoulli(
+            k, 0.5, (self.tbs,)))(ev[:E, 1]).astype(jnp.int32)   # [E, TBS]
+        e_bits = self.codec.encode(tb)
+        syms = map_symbols(e_bits, self.Qm).astype(jnp.complex64)
+        grids = jnp.stack([fill_grid(syms[e:e + 1], self.gms[e])[0]
+                           for e in range(E)])                   # [E, 14, F]
+
+        # couple: per UE, sum over eNBs of channel-filtered grids
+        # (do_DL_sig's all-pairs convolution, as per-subcarrier multiplies)
+        f_all = tuple((np.arange(self.fp.n_sc) - 6 * self.fp.n_rb).tolist())
+        Hs = self.chan.freq_response_at(taps, f_all).reshape(U, E, -1)
+        amp = jnp.sqrt(p_rx)[:, :, None]
+        bins = jnp.asarray(self.fp.sc_to_bin(np.arange(self.fp.n_sc)))
+        gsub = grids[:, :, bins]                                 # [E, 14, sc]
+        rx_occ = jnp.einsum("uef,esf->usf", Hs * amp, gsub)
+        rgrid = jnp.zeros((U, self.fp.symbols_per_subframe, self.fp.n_fft),
+                          jnp.complex64)
+        rgrid = rgrid.at[:, :, bins].set(rx_occ)
+        nkey = ev[:U, 2]
+        nr = jax.vmap(lambda k: jax.random.normal(
+            k, (self.fp.symbols_per_subframe, self.fp.n_fft, 2)))(nkey)
+        rgrid = rgrid + jnp.sqrt(0.5) * (nr[..., 0] + 1j * nr[..., 1])
+
+        # UE RX: serving-cell pilots -> CE -> equalize -> decode
+        errs = []
+        for e in range(E):
+            gm = self.gms[e]
+            H_hat = estimate_channel(rgrid, gm, wieners[e], time_avg=True)
+            y = rgrid[:, jnp.asarray(gm.data_sym), jnp.asarray(gm.data_bin)]
+            h = H_hat[:, jnp.asarray(gm.data_sym), jnp.asarray(gm.data_sc)]
+            g = jnp.maximum(jnp.abs(h) ** 2, 1e-9)
+            llr = demap_llr(y * jnp.conj(h) / g, 1.0 / g,
+                            self.Qm).reshape(U, -1)
+            _, ok, _ = self.codec.decode(llr)
+            tb_err = ~ok                                         # [U]
+            errs.append(tb_err)
+        err_by_serving = jnp.stack(errs, axis=1)                 # [U, E]
+        err = jnp.take_along_axis(err_by_serving, serving[:, None],
+                                  axis=1)[:, 0]
+        return taps, err & sched
+
+    # --------------------------------------------------------------- run --
+    def run_frames(self, n_frames: int):
+        cfg = self.cfg
+        U, E = cfg.n_ue, cfg.n_enb
+        for f in range(n_frames):
+            serving_onehot = np.zeros((U, E), np.float32)
+            serving_onehot[np.arange(U), self.serving] = 1.0
+            for tti in range(10):
+                sched = self._schedule(tti)
+                keys = jnp.asarray(host_keys(
+                    cfg.seed + 1, U * E, stream=self._frame * 10 + tti))
+                if cfg.mode == "abstraction":
+                    self.taps, err, eff = self._tti(
+                        self.taps, keys, jnp.asarray(self.p_rx),
+                        jnp.asarray(serving_onehot), jnp.asarray(sched))
+                else:
+                    self.taps, err = self._phy(
+                        self.taps, keys, jnp.asarray(self.p_rx),
+                        jnp.asarray(self.serving), jnp.asarray(sched),
+                        self.wieners)
+                err = np.asarray(err)
+                self.stats["tb_sent"] += sched
+                self.stats["tb_err"] += err & sched
+                self.stats["bits_ok"] += (sched & ~err) * self.tbs
+            self._mobility_step()
+            self._frame += 1
+        return self.summary()
+
+    def summary(self) -> dict:
+        sent = np.maximum(self.stats["tb_sent"], 1)
+        per_ue_bler = self.stats["tb_err"] / sent
+        thr = self.stats["bits_ok"] / max(self._frame * 0.01, 1e-9)
+        return dict(frames=self._frame,
+                    per_ue_bler=per_ue_bler,
+                    mean_bler=float(per_ue_bler.mean()),
+                    sum_throughput_mbps=float(thr.sum() / 1e6),
+                    serving=self.serving.copy())
