@@ -37,6 +37,7 @@ class DlschConfig:
     decoder_window: int = 96
     decoder_warmup: int = 32
     nports: int = 1            # TX antenna ports (2 => SFBC, 8 RE/RB pilots)
+    g_override: int | None = None   # custom RE budget (PMCH/MBSFN region)
 
     @property
     def tbs(self) -> int:
@@ -48,6 +49,8 @@ class DlschConfig:
 
     @property
     def G(self) -> int:
+        if self.g_override is not None:
+            return self.g_override
         return get_G_dl(self.n_rb, self.Qm, self.n_pdcch_symbols,
                         siso=self.nports == 1)
 
