@@ -72,3 +72,29 @@ def wideband_cqi(snr_linear):
     # highest CQI whose efficiency is <= achieved efficiency
     ok = table[None, :] <= eff[..., None] * 0.9   # 1 dB implementation margin
     return jnp.sum(ok, axis=-1) - 1
+
+
+def enb_measure_ul(rgrid, pm, n_alloc_rb_mask: np.ndarray):
+    """eNB uplink measurements (reference lte_eNB_measurements.c): per-RB
+    received power across the band, noise/interference floor from the RBs
+    outside every allocation, and per-allocation SNR.
+
+    rgrid [B, nsym, n_fft]; pm: scfdma.PuschMap (for the band geometry);
+    n_alloc_rb_mask [n_rb] bool — True where *some* UE transmits.
+    """
+    fp = pm.fp
+    occ = jnp.asarray(fp.sc_to_bin(np.arange(fp.n_sc)))
+    band = rgrid[:, :, occ]                                # [B, nsym, n_sc]
+    p_sc = jnp.mean(jnp.abs(band) ** 2, axis=1)            # [B, n_sc]
+    p_rb = p_sc.reshape(p_sc.shape[0], fp.n_rb, 12).mean(-1)
+    mask = jnp.asarray(n_alloc_rb_mask)
+    n_empty = int((~n_alloc_rb_mask).sum())
+    if n_empty:
+        n0_hat = jnp.sum(jnp.where(~mask, p_rb, 0.0), -1) / n_empty
+    else:
+        n0_hat = jnp.zeros(p_rb.shape[0])
+    n_used = max(int(n_alloc_rb_mask.sum()), 1)
+    p_sig = jnp.sum(jnp.where(mask, p_rb, 0.0), -1) / n_used
+    snr = (p_sig - n0_hat) / jnp.maximum(n0_hat, 1e-12)
+    return dict(p_rb=p_rb, n0_hat=n0_hat,
+                snr_db=10.0 * jnp.log10(jnp.maximum(snr, 1e-9)))

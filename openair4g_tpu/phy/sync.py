@@ -151,6 +151,7 @@ class CellSearch:
         am = jnp.argmax(flat, axis=-1)
         nid2 = am // valid
         pos = am % valid
+        self._last_peak = jnp.max(flat, axis=-1)
         return pos, nid2, corr
 
     def _extract62(self, r, start):
@@ -190,7 +191,7 @@ class CellSearch:
         pos, nid2, _ = self.pss_correlate(r)
         nid1, half = self.sss_detect(r, pos, nid2)
         return dict(pss_pos=pos, nid2=nid2, nid1=nid1, half=half,
-                    nid_cell=3 * nid1 + nid2)
+                    nid_cell=3 * nid1 + nid2, peak=self._last_peak)
 
 
 def estimate_cfo(r, pss_pos, nid2, n_fft: int):
