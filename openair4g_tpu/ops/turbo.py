@@ -162,37 +162,78 @@ def _tail_tables():
     return tx, tz
 
 
-def _rsc_encode_device(bits):
-    """bits [B, K] int32 (K % 8 == 0) -> (x [B,K+3], z [B,K+3])."""
-    B, K = bits.shape
-    nxt, par = _chunk_tables()
-    nxt_flat = jnp.asarray(nxt.reshape(-1))
-    par_flat = jnp.asarray(par.reshape(-1))
-    weights = jnp.asarray(1 << np.arange(7, -1, -1), jnp.int32)
-    chunks = jnp.sum(bits.reshape(B, K // 8, 8) * weights, axis=-1)  # [B, K/8]
+@functools.lru_cache(maxsize=None)
+def _rsc_impulse(K: int):
+    """Impulse responses of the RSC: parity h [K] and state-after-d-steps
+    st [K+1] for a single 1 at t=0 (the encoder is LTI over GF(2), so the
+    full encode is a Toeplitz GF(2) matmul — MXU work, not a scan)."""
+    h = np.zeros(K, np.int8)
+    st = np.zeros(K + 1, np.int8)
+    s = 0
+    for t in range(K):
+        u = 1 if t == 0 else 0
+        r1, r2, r3 = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        a = u ^ r2 ^ r3
+        h[t] = a ^ r1 ^ r3
+        s = a * 4 + r1 * 2 + r2
+        st[t + 1] = s
+    return h, st
 
-    def step(state, chunk):
-        idx = state * 256 + chunk
-        return nxt_flat[idx], par_flat[idx]
 
-    final_state, packed = jax.lax.scan(step, jnp.zeros(B, jnp.int32),
-                                       chunks.T)  # packed [K/8, B]
-    shifts = jnp.asarray(np.arange(7, -1, -1), jnp.int32)
-    z = ((packed.T[..., None] >> shifts) & 1).reshape(B, K)
+@functools.lru_cache(maxsize=None)
+def _encoder_matrix(K: int) -> np.ndarray:
+    """[K, 2K+6] bf16 GF(2) generator: columns = [z1 (K) | s1-bits (3) |
+    z2 (K) | s2-bits (3)] for both constituent encoders (encoder 2 folds
+    the QPP permutation into its rows)."""
+    h, st = _rsc_impulse(K)
+    i = np.arange(K)
+    d = i[None, :] - i[:, None]                       # output - input pos
+    Mz = np.where(d >= 0, h[np.clip(d, 0, K - 1)], 0).astype(np.int8)
+    sf = st[K - i]                                    # final state of impulse
+    S = np.stack([(sf >> 2) & 1, (sf >> 1) & 1, sf & 1], 1).astype(np.int8)
+    pi = qpp_interleaver(K)
+    inv = np.empty(K, np.int64)
+    inv[pi] = np.arange(K)
+    A = np.concatenate([Mz, S, Mz[inv], S[inv]], axis=1)
+    import ml_dtypes
+    return A.astype(ml_dtypes.bfloat16)
+
+
+def _rsc_outputs_matmul(bits, K: int):
+    """bits [B, K] -> (z1 [B,K], s1 [B], z2 [B,K], s2 [B]) via one MXU
+    GF(2) matmul (f32 accumulation is exact: sums <= K < 2^24)."""
+    A = jnp.asarray(_encoder_matrix(K))
+    y = jnp.dot(bits.astype(jnp.bfloat16), A,
+                preferred_element_type=jnp.float32)
+    y = jnp.mod(jnp.round(y), 2.0).astype(jnp.int32)
+    z1 = y[:, :K]
+    s1 = y[:, K] * 4 + y[:, K + 1] * 2 + y[:, K + 2]
+    z2 = y[:, K + 3:2 * K + 3]
+    s2 = y[:, 2 * K + 3] * 4 + y[:, 2 * K + 4] * 2 + y[:, 2 * K + 5]
+    return z1, s1, z2, s2
+
+
+def _tails(bits_or_state):
     tx, tz = _tail_tables()
-    tail_x = jnp.asarray(tx)[final_state]  # [B, 3]
-    tail_z = jnp.asarray(tz)[final_state]
-    x = jnp.concatenate([bits, tail_x], axis=1)
-    z = jnp.concatenate([z, tail_z], axis=1)
-    return x, z
+    return jnp.asarray(tx)[bits_or_state], jnp.asarray(tz)[bits_or_state]
 
 
 def turbo_encode_device(bits, pi: np.ndarray):
-    """bits [B, K] int32 -> d [B, 3, K+4]. `pi` = qpp_interleaver(K) (static)."""
+    """bits [B, K] int32 -> d [B, 3, K+4]. `pi` = qpp_interleaver(K) (static).
+
+    TPU-native: both constituent RSC encoders are one [B,K]x[K,2K+6] GF(2)
+    matmul on the MXU (the encoder is linear and time-invariant); only the
+    3-step trellis termination needs the tiny tail LUTs.
+    """
     B, K = bits.shape
     pi = jnp.asarray(pi)
-    x1, z1 = _rsc_encode_device(bits)
-    x2, z2 = _rsc_encode_device(bits[:, pi])
+    z1f, s1, z2f, s2 = _rsc_outputs_matmul(bits, K)
+    tx1, tz1 = _tails(s1)
+    tx2, tz2 = _tails(s2)
+    x1 = jnp.concatenate([bits, tx1], axis=1)
+    z1 = jnp.concatenate([z1f, tz1], axis=1)
+    x2 = jnp.concatenate([bits[:, pi], tx2], axis=1)
+    z2 = jnp.concatenate([z2f, tz2], axis=1)
     d0 = jnp.concatenate([x1[:, :K], x1[:, K:K+1], z1[:, K+1:K+2],
                           x2[:, K:K+1], z2[:, K+1:K+2]], axis=1)
     d1 = jnp.concatenate([z1[:, :K], z1[:, K:K+1], x1[:, K+2:K+3],
@@ -221,31 +262,98 @@ def _window_index_matrix(n_w: int, W: int, U: int, forward: bool) -> np.ndarray:
     return (w * W + t + U).astype(np.int32)
 
 
-def _alpha_step(alpha, gu, gp):
-    """One forward trellis step. alpha [..., 8]; gu/gp [...] broadcast.
+def _frame_fwd(g, W: int, U: int):
+    """[B, N] -> [B, n_w, W+U]: window w = positions w*W - U + t (t < W+U),
+    front-padded with 0. Pure reshape/slice/concat — no gather (TPU gathers
+    are orders of magnitude slower than reshapes)."""
+    B, N = g.shape
+    n_w = N // W
+    padded = jnp.concatenate([jnp.zeros((B, U), g.dtype), g], axis=1)
+    warm = padded[:, :n_w * W].reshape(B, n_w, W)[:, :, :U]
+    main = g.reshape(B, n_w, W)
+    return jnp.concatenate([warm, main], axis=2)
 
+
+def _frame_bwd(g, W: int, U: int, pad_val: float):
+    """[B, N] -> [B, n_w, W+U]: window w = positions w*W + t, end-padded."""
+    B, N = g.shape
+    n_w = N // W
+    # pad a full W so the strided tail view exists for the last window
+    padded = jnp.concatenate(
+        [g, jnp.full((B, W), pad_val, g.dtype)], axis=1)
+    main = g.reshape(B, n_w, W)
+    tail = padded[:, W:].reshape(B, n_w, W)[:, :, :U]
+    return jnp.concatenate([main, tail], axis=2)
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrix(K: int, inverse: bool) -> np.ndarray:
+    """[K, K] fp32 one-hot matrix realizing x[:, pi] (or the inverse) as an
+    MXU matmul — exact (single-term sums) and ~10x faster than a gather."""
+    pi = qpp_interleaver(K)
+    E = np.zeros((K, K), np.float32)
+    if inverse:
+        E[np.arange(K), pi] = 1.0      # y[:, pi[j]] = x[:, j]
+    else:
+        E[pi, np.arange(K)] = 1.0      # y[:, j] = x[:, pi[j]]
+    return E
+
+
+def _permute(x, K: int, inverse: bool):
+    if jax.default_backend() == "cpu":
+        # CPU: gathers are cheap, K x K matmuls are not
+        pi = qpp_interleaver(K)
+        if inverse:
+            idx = np.empty(K, np.int32)
+            idx[pi] = np.arange(K, dtype=np.int32)
+        else:
+            idx = pi
+        return x[:, jnp.asarray(idx)]
+    return jnp.dot(x, jnp.asarray(_perm_matrix(K, inverse)),
+                   preferred_element_type=jnp.float32)
+
+
+def _alpha_step(alpha, gu, gp):
+    """One forward trellis step, STATE-MAJOR: alpha [8, ...]; gu/gp [...].
+
+    The 8-state axis is the *leading* axis (a minor axis of 8 would waste
+    15/16 of each 128-wide VPU vector); all trellis wiring is static Python
+    indexing, so XLA sees only full-width elementwise ops — the TPU analog
+    of the reference keeping 8 states in one __m128i
+    (3gpplte_turbo_decoder_sse.c:399).
     gamma(s,u) = (1-2u)*gu + (1-2*PARITY[s,u])*gp.
     """
-    cand = []
-    for j in (0, 1):
-        a_prev = alpha[..., PRED_S[:, j]]                     # [..., 8]
-        sgn_u = 1.0 - 2.0 * PRED_U[:, j]
-        sgn_z = 1.0 - 2.0 * PRED_Z[:, j]
-        cand.append(a_prev + sgn_u * gu[..., None] + sgn_z * gp[..., None])
-    new = jnp.maximum(cand[0], cand[1])
-    return new - jnp.max(new, axis=-1, keepdims=True)
+    new = []
+    for s in range(8):
+        c = []
+        for j in (0, 1):
+            p = int(PRED_S[s, j])
+            su = 1.0 - 2.0 * float(PRED_U[s, j])
+            sz = 1.0 - 2.0 * float(PRED_Z[s, j])
+            c.append(alpha[p] + su * gu + sz * gp)
+        new.append(jnp.maximum(c[0], c[1]))
+    m = new[0]
+    for s in range(1, 8):
+        m = jnp.maximum(m, new[s])
+    return jnp.stack([x - m for x in new])
 
 
 def _beta_step(beta, gu, gp):
-    """One backward step: beta_k[s] = max_u beta_{k+1}[NEXT[s,u]] + gamma."""
-    cand = []
-    for u in (0, 1):
-        b_next = beta[..., NEXT_STATE[:, u]]
-        sgn_u = 1.0 - 2.0 * u
-        sgn_z = 1.0 - 2.0 * PARITY[:, u]
-        cand.append(b_next + sgn_u * gu[..., None] + sgn_z * gp[..., None])
-    new = jnp.maximum(cand[0], cand[1])
-    return new - jnp.max(new, axis=-1, keepdims=True)
+    """One backward step (state-major): beta_k[s] = max_u beta_{k+1}[NEXT[s,u]]
+    + gamma(s,u)."""
+    new = []
+    for s in range(8):
+        c = []
+        for u in (0, 1):
+            nx = int(NEXT_STATE[s, u])
+            su = 1.0 - 2.0 * u
+            sz = 1.0 - 2.0 * float(PARITY[s, u])
+            c.append(beta[nx] + su * gu + sz * gp)
+        new.append(jnp.maximum(c[0], c[1]))
+    m = new[0]
+    for s in range(1, 8):
+        m = jnp.maximum(m, new[s])
+    return jnp.stack([x - m for x in new])
 
 
 def _half_iteration(lin, lp, W: int, U: int):
@@ -254,71 +362,84 @@ def _half_iteration(lin, lp, W: int, U: int):
     lin, lp: [B, N] combined systematic(+apriori) and parity LLRs, where N is
     already padded to a multiple of W with +BIG entries (forced state-0 region
     after the tail). Returns llr [B, N] (APP log-ratio for bit=0 vs bit=1).
+
+    Critical-path layout: the alpha (forward) and beta (backward) window
+    sweeps are independent, so they ride ONE `lax.scan` together, and the
+    scan body unrolls R trellis steps per iteration — (W+U)/R sequential
+    loop iterations per half-iteration instead of 2*(W+U). (The reference's
+    SIMD decoder has the same alpha/beta structure but is serial in k;
+    here windows*batch*states fill the VPU lanes.)
     """
     B, N = lin.shape
     n_w = N // W
+    T = W + U
+    # unroll: R = 8 hits a pathological XLA-CPU compile blowup; cap at 4
+    # there (tests), 8 on accelerators
+    r_max = 4 if jax.default_backend() == "cpu" else 8
+    R = 1
+    for r in (8, 4, 2):
+        if r <= r_max and T % r == 0:
+            R = r
+            break
     gu = 0.5 * lin
     gp = 0.5 * lp
 
-    # ---- alpha (forward), windows in lockstep --------------------------------
-    pad = jnp.zeros((B, U), gu.dtype)
-    gu_f = jnp.concatenate([pad, gu], axis=1)   # front-pad warm-up region
-    gp_f = jnp.concatenate([pad, gp], axis=1)
-    idx_f = _window_index_matrix(n_w, W, U, forward=True)      # [n_w, W+U]
-    gu_w = gu_f[:, idx_f]                                       # [B, n_w, W+U]
-    gp_w = gp_f[:, idx_f]
+    # ---- forward inputs: window w consumes padded positions w*W + t ----------
+    gu_w = jnp.moveaxis(_frame_fwd(gu, W, U), -1, 0)            # [T, B, n_w]
+    gp_w = jnp.moveaxis(_frame_fwd(gp, W, U), -1, 0)
 
-    init = jnp.zeros((B, n_w, 8))
-    exact0 = jnp.full((8,), NEG).at[0].set(0.0)
+    # ---- backward inputs at reversed t order ---------------------------------
+    # beyond N: forced state-0 region (+BIG known bits)
+    gu_wb = jnp.moveaxis(_frame_bwd(gu, W, U, BIG), -1, 0)[::-1]
+    gp_wb = jnp.moveaxis(_frame_bwd(gp, W, U, BIG), -1, 0)[::-1]
 
-    def fwd(alpha, t_gamma):
-        t, g_u, g_p = t_gamma
-        # At t == U every window sits at its start position; window 0 is the
-        # true trellis start -> override with the exact state-0 init.
-        alpha = jnp.where((t == U) & (jnp.arange(n_w)[None, :, None] == 0),
-                          exact0[None, None, :], alpha)
-        new = _alpha_step(alpha, g_u, g_p)
-        return new, alpha  # emit alpha BEFORE the step: alpha at node t
+    exact0 = jnp.asarray(np.concatenate([[0.0], np.full(7, NEG)])
+                         )[:, None, None]           # [8, 1, 1] state-major
+    # start-override mask per t: at t == U window 0 is the true trellis start
+    start_mask = np.zeros(T, bool)
+    start_mask[U] = True
+    win0 = jnp.asarray(np.arange(n_w) == 0)[None, None, :]   # [1, 1, n_w]
 
-    ts = jnp.arange(W + U)
-    _, alphas = jax.lax.scan(fwd, init,
-                             (ts, jnp.moveaxis(gu_w, -1, 0),
-                              jnp.moveaxis(gp_w, -1, 0)))
-    # alphas [W+U, B, n_w, 8]; keep t in [U, U+W): node positions w*W + (t-U)
-    alpha = jnp.moveaxis(alphas[U:], 0, 2).reshape(B, N, 8)
+    def rsh(x):
+        return x.reshape(T // R, R, *x.shape[1:])
 
-    # ---- beta (backward), windows in lockstep --------------------------------
-    pad_b = jnp.full((B, U), BIG, gu.dtype)  # beyond N: forced state-0 region
-    gu_b = jnp.concatenate([gu, pad_b], axis=1)
-    gp_b = jnp.concatenate([gp, pad_b], axis=1)
-    idx_b = _window_index_matrix(n_w, W, U, forward=False) - U  # positions w*W+t
-    gu_wb = gu_b[:, idx_b]
-    gp_wb = gp_b[:, idx_b]
+    def body(carry, xs):
+        alpha, beta = carry                        # [8, B, n_w] each
+        sm, guf, gpf, gub, gpb = xs
+        alphas, betas = [], []
+        for r in range(R):
+            a = jnp.where(sm[r] & win0, exact0, alpha)
+            alphas.append(a)
+            alpha = _alpha_step(a, guf[r], gpf[r])
+            beta = _beta_step(beta, gub[r], gpb[r])
+            betas.append(beta)
+        return (alpha, beta), (jnp.stack(alphas), jnp.stack(betas))
 
-    def bwd(beta, t_gamma):
-        t, g_u, g_p = t_gamma
-        new = _beta_step(beta, g_u, g_p)
-        return new, new  # emit beta AT node t (after consuming gamma_t)
-
-    ts_b = jnp.arange(W + U - 1, -1, -1)
-    _, betas = jax.lax.scan(
-        bwd, jnp.zeros((B, n_w, 8)),
-        (ts_b, jnp.moveaxis(gu_wb, -1, 0)[ts_b],
-         jnp.moveaxis(gp_wb, -1, 0)[ts_b]))
-    # betas emitted in reverse t order; betas[i] is beta at node ts_b[i].
-    betas = betas[::-1]                       # now indexed by t: beta at node t
-    beta = jnp.moveaxis(betas[:W], 0, 2).reshape(B, N, 8)  # beta at nodes w*W+t
+    init = (jnp.zeros((8, B, n_w)), jnp.zeros((8, B, n_w)))
+    _, (alphas, betas) = jax.lax.scan(
+        body, init,
+        (jnp.asarray(rsh(start_mask)), rsh(gu_w), rsh(gp_w),
+         rsh(gu_wb), rsh(gp_wb)))
+    alphas = alphas.reshape(T, 8, B, n_w)    # alpha BEFORE step: node t
+    betas = betas.reshape(T, 8, B, n_w)      # beta AT node ts_b[i]
+    # node index = w*W + (t-U): [8, B, N]
+    alpha = jnp.moveaxis(alphas[U:], 0, 3).reshape(8, B, N)
+    betas = betas[::-1]                      # now indexed by t: beta at node t
+    beta = jnp.moveaxis(betas[:W], 0, 3).reshape(8, B, N)
 
     # beta_next[k] = beta at node k+1: shift left, terminal node = state 0
-    term = jnp.broadcast_to(exact0, (B, 1, 8))
-    beta_next = jnp.concatenate([beta[:, 1:], term], axis=1)
+    term = jnp.broadcast_to(exact0, (8, B, 1))
+    beta_next = jnp.concatenate([beta[:, :, 1:], term], axis=2)
 
     # ---- LLR: max over u=0 transitions minus max over u=1 --------------------
     llr01 = []
     for u in (0, 1):
-        sgn_z = 1.0 - 2.0 * PARITY[:, u]           # [8]
-        m = alpha + sgn_z * gp[..., None] + beta_next[..., NEXT_STATE[:, u]]
-        llr01.append(jnp.max(m, axis=-1))
+        m = None
+        for s in range(8):
+            sz = 1.0 - 2.0 * float(PARITY[s, u])
+            c = alpha[s] + sz * gp + beta_next[int(NEXT_STATE[s, u])]
+            m = c if m is None else jnp.maximum(m, c)
+        llr01.append(m)
     # gamma's systematic part: +gu for u=0, -gu for u=1
     return (llr01[0] + gu) - (llr01[1] - gu)
 
@@ -383,12 +504,12 @@ def turbo_decode(llr_d, cfg: TurboDecoderConfig):
         lin1 = jnp.concatenate([sys_ch + la1, tail1, pad], axis=1)
         llr1 = _half_iteration(lin1, par1_p, W, U)
         ext1 = llr1[:, :K] - lin1[:, :K]
-        # --- decoder 2 ---
-        apri2 = (sys_ch + ext1)[:, pi_j]
+        # --- decoder 2 --- (QPP (de)interleave = one-hot MXU matmul)
+        apri2 = _permute(sys_ch + ext1, K, inverse=False)
         lin2 = jnp.concatenate([apri2, sys2_tail, pad], axis=1)
         llr2 = _half_iteration(lin2, par2_p, W, U)
         ext2 = llr2[:, :K] - lin2[:, :K]
-        la1_new = ext2[:, inv_pi_j]
+        la1_new = _permute(ext2, K, inverse=True)
         # --- decision + CRC latch ---
         # Decoder 2's APP deinterleaved: lin2 + ext2 = (sys_ch + ext1) + ext2.
         llr_final = sys_ch + ext1 + la1_new
