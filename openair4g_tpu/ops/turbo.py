@@ -6,17 +6,20 @@ Reference parity (behavior, not code):
     (max-log-MAP with per-iteration CRC early stop)
 
 Architecture (TPU-first, not a translation):
-  * Encoder: the rate-1/3 PCCC is a GF(2) state machine with 8 states. We
-    process 8 input bits per step via precomputed [8, 256] transition/parity
-    lookup tables inside a `lax.scan`, batched over code blocks — K=6144 bits
-    costs 768 scan steps of pure gathers.
+  * Encoder: the RSC constituent encoders are linear and time-invariant
+    over GF(2), so both parity streams AND the final trellis states are one
+    [B, K] x [K, 2K+6] Toeplitz matmul on the MXU (f32 accumulation is
+    exact); only the 3-step termination needs a tiny LUT.
   * Decoder: windowed max-log-MAP. The trellis of length K+3 is cut into
     windows of W steps; all windows run their alpha (forward) and beta
     (backward) recursions in lockstep inside one `lax.scan` of length W+U
     (U = warm-up overlap steps seeded from uniform metrics — the standard
     next-iteration-initialization-free sliding window of hardware decoders).
-    The scan carry is [batch, n_windows, 8] so the VPU sees wide vectors and
-    the sequential critical path is W+U ≈ 128 steps instead of K+3 ≈ 6147.
+    The 8 trellis states ride the *leading* axis (full 128-lane VPU
+    vectors), alpha and beta sweeps share one `lax.scan` with a 4-8-step
+    unrolled body, and the QPP (de)interleave is a one-hot MXU matmul — the
+    sequential critical path is (W+U)/R ≈ 16-32 loop iterations instead of
+    K+3 ≈ 6147.
   * Per-iteration hard decisions + CRC check (one MXU matmul, ops/crc.py)
     emulate the reference's CRC early stop: the first passing decision is
     latched per batch element (BLER-equivalent to stopping, without dynamic
@@ -126,25 +129,10 @@ def turbo_encode_host(bits: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device encoder: 8-bit-chunked scan with [8, 256] LUTs
+# Device encoder: one GF(2) Toeplitz matmul on the MXU
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _chunk_tables():
-    """[8, 256] next-state and packed-parity tables for 8-bit chunks (MSB first)."""
-    nxt = np.zeros((8, 256), np.int32)
-    par = np.zeros((8, 256), np.int32)
-    for s0 in range(8):
-        for c in range(256):
-            s = s0
-            p = 0
-            for t in range(8):
-                u = (c >> (7 - t)) & 1
-                p = (p << 1) | int(PARITY[s, u])
-                s = int(NEXT_STATE[s, u])
-            nxt[s0, c] = s
-            par[s0, c] = p
-    return nxt, par
+
 
 
 @functools.lru_cache(maxsize=None)
@@ -251,15 +239,6 @@ NEG = -1e9   # "minus infinity" metric
 BIG = 1e4    # LLR magnitude for known bits (fillers / pad region)
 
 
-def _window_index_matrix(n_w: int, W: int, U: int, forward: bool) -> np.ndarray:
-    """[n_w, W+U] gather positions (into a front-U-padded axis) per window."""
-    t = np.arange(W + U)
-    w = np.arange(n_w)[:, None]
-    if forward:
-        # window w consumes padded positions w*W + t   (= real pos w*W - U + t)
-        return (w * W + t).astype(np.int32)
-    # backward: window w consumes real positions w*W .. w*W+W+U-1
-    return (w * W + t + U).astype(np.int32)
 
 
 def _frame_fwd(g, W: int, U: int):
@@ -375,7 +354,7 @@ def _half_iteration(lin, lp, W: int, U: int):
     T = W + U
     # unroll: R = 8 hits a pathological XLA-CPU compile blowup; cap at 4
     # there (tests), 8 on accelerators
-    r_max = 4 if jax.default_backend() == "cpu" else 8
+    r_max = 2 if jax.default_backend() == "cpu" else 8
     R = 1
     for r in (8, 4, 2):
         if r <= r_max and T % r == 0:

@@ -65,12 +65,15 @@ class PuschMap:
 
 @functools.lru_cache(maxsize=None)
 def make_pusch_map(n_rb: int, n_rb_alloc: int, rb_offset: int = 0,
-                   normal_cp: bool = True) -> PuschMap:
+                   normal_cp: bool = True, srs: bool = False) -> PuschMap:
+    """srs=True vacates the last SC-FDMA symbol for the sounding RS
+    (36.211 §5.5.3; the reference shortens Nsymb_pusch the same way)."""
     fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
     m_sc = 12 * n_rb_alloc
     dmrs = dmrs_symbol_indices(fp)
+    skip = set(dmrs) | ({fp.symbols_per_subframe - 1} if srs else set())
     data_syms = np.asarray([s for s in range(fp.symbols_per_subframe)
-                            if s not in dmrs], np.int32)
+                            if s not in skip], np.int32)
     # UL subcarriers are contiguous (no DC puncture — the real grid sits at a
     # half-subcarrier offset via the 7.5 kHz shift); map them symmetrically
     # around bin 0.
