@@ -82,16 +82,19 @@ def _port_pilot_arrays(gm: GridMap, port: int):
 
 
 def make_wiener_stack(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
-    """[n_pilot_sym, Np, n_sc] complex64 Wiener matrices for each pilot
-    symbol's comb offset — host precompute, fed to the jitted step as a
-    device argument so the SNR sweep reuses one compiled program."""
+    """[n_pilot_sym, Np, n_sc, 2] float32 Wiener matrices (real/imag packed
+    on the last axis) for each pilot symbol's comb offset — host precompute,
+    fed to the jitted step as a device argument so the SNR sweep reuses one
+    compiled program. Packed as floats because the axon TPU runtime cannot
+    transfer complex buffers; estimate_channel unpacks in-graph."""
     fp = gm.fp
     n_ps = len(pilot_symbol_indices(fp))
     _, pilot_sc, _, _ = _port_pilot_arrays(gm, port)
-    return np.stack([
+    c = np.stack([
         _wiener_matrix(fp.n_rb, int(pilot_sc[s, 0] % 6), float(n0),
                        fp.normal_cp)
         for s in range(n_ps)])
+    return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
 
 
 def estimate_channel(rgrid, gm: GridMap, wiener_stack,
@@ -109,11 +112,14 @@ def estimate_channel(rgrid, gm: GridMap, wiener_stack,
     n_ps = len(psyms)
     pilot_sym, _, pilot_bin, pilot_val = _port_pilot_arrays(gm, port)
 
+    W = jnp.asarray(wiener_stack)
+    if not jnp.iscomplexobj(W):        # packed [n_ps, Np, n_sc, 2] floats
+        W = W[..., 0] + 1j * W[..., 1]
     h_p = []
     for s in range(n_ps):
         y = rgrid[:, int(pilot_sym[s, 0])][:, jnp.asarray(pilot_bin[s])]
         ls = y * jnp.asarray(np.conj(pilot_val[s]))        # LS estimate
-        h_p.append(jnp.matmul(ls, wiener_stack[s],
+        h_p.append(jnp.matmul(ls, W[s],
                               preferred_element_type=jnp.complex64))
     h_p = jnp.stack(h_p, axis=1)                           # [B, n_ps, n_sc]
     if time_avg:

@@ -102,11 +102,13 @@ def _ul_time_weights(data_syms: tuple, normal_cp: bool = True) -> np.ndarray:
 
 
 def make_ul_wiener(pm: PuschMap, n0: float) -> np.ndarray:
-    """Host precompute of the [M, M] smoothing matrix for one noise level —
-    passed to the jitted step as a device argument so an SNR sweep reuses a
-    single compiled program."""
-    return _ul_wiener_matrix(pm.fp.n_rb, pm.n_rb_alloc, pm.rb_offset,
-                             float(n0), pm.fp.normal_cp)
+    """Host precompute of the [M, M, 2] smoothing matrix (real/imag packed
+    — the axon TPU runtime cannot transfer complex buffers) for one noise
+    level; passed to the jitted step as a device argument so an SNR sweep
+    reuses a single compiled program."""
+    c = _ul_wiener_matrix(pm.fp.n_rb, pm.n_rb_alloc, pm.rb_offset,
+                          float(n0), pm.fp.normal_cp)
+    return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
 
 
 def ul_estimate_channel(dmrs_rx, dmrs_ref: np.ndarray, pm: PuschMap, wiener):
@@ -117,6 +119,8 @@ def ul_estimate_channel(dmrs_rx, dmrs_ref: np.ndarray, pm: PuschMap, wiener):
     the data symbols.
     """
     W = jnp.asarray(wiener)
+    if not jnp.iscomplexobj(W):        # packed [M, M, 2] floats
+        W = W[..., 0] + 1j * W[..., 1]
     ls = dmrs_rx * jnp.asarray(np.conj(dmrs_ref))[None, None, :]
     h = jnp.matmul(ls, W, preferred_element_type=jnp.complex64)  # [B, 2, M]
     Wt = jnp.asarray(_ul_time_weights(tuple(pm.data_syms.tolist()),
