@@ -78,6 +78,7 @@ class OaisimConfig:
     speed_mps: float = 1.0
     traffic: str = "full"            # "full" | "onoff"
     onoff_p: float = 0.5
+    mac: str = "rr"                  # "rr" round-robin | "pf" prop-fair
     n_turbo_iter: int = 6
     seed: int = 0
 
@@ -137,7 +138,7 @@ class Oaisim:
         self._update_links()
 
     def _schedule(self, tti: int) -> np.ndarray:
-        """Round-robin MAC: each eNB serves one attached UE per TTI.
+        """MAC allocation: round-robin or proportional-fair (mac/scheduler).
         Returns mask [n_ue] of scheduled UEs."""
         cfg = self.cfg
         mask = np.zeros(cfg.n_ue, bool)
@@ -145,6 +146,24 @@ class Oaisim:
             active = self.rng.random(cfg.n_ue) < cfg.onoff_p
         else:
             active = np.ones(cfg.n_ue, bool)
+        if cfg.mac == "pf":
+            if not hasattr(self, "_pf"):
+                from ..mac import PfScheduler, UeContext
+                self._pf = PfScheduler(cfg.n_rb, max_ues_per_tti=1)
+                self._ue_ctx = [UeContext(rnti=u) for u in range(cfg.n_ue)]
+            # per-UE wideband CQI from the geometry SINR (host estimate)
+            sig = self.p_rx[np.arange(cfg.n_ue), self.serving]
+            intf = self.p_rx.sum(1) - sig
+            sinr_db = 10 * np.log10(np.maximum(sig / (intf + 1.0), 1e-9))
+            for u, ctx in enumerate(self._ue_ctx):
+                ctx.cqi = int(np.clip(round(sinr_db[u] / 2 + 3), 1, 15))
+                ctx.drx = not bool(active[u])
+            for e in range(cfg.n_enb):
+                cell = [self._ue_ctx[u] for u in range(cfg.n_ue)
+                        if self.serving[u] == e]
+                for a in self._pf.schedule(cell, tti):
+                    mask[a.rnti] = True
+            return mask
         for e in range(cfg.n_enb):
             ues = np.nonzero((self.serving == e) & active)[0]
             if len(ues):

@@ -62,3 +62,12 @@ def test_phy_mode_two_cells():
     # with 55 dB SNR at d_ref and pathloss exp 3.5 over <= ~750 m,
     # serving links are high-SNR: most TBs must decode
     assert out["mean_bler"] < 0.5, out
+
+
+def test_pf_mac_in_oaisim():
+    cfg = OaisimConfig(n_enb=1, n_ue=6, n_rb=6, mcs=4, tx_power_db=45.0,
+                       mode="abstraction", mac="pf", speed_mps=0.0, seed=9)
+    sim = Oaisim(cfg)
+    out = sim.run_frames(10)
+    # PF serves every UE at least once over 100 TTIs
+    assert (sim.stats["tb_sent"] > 0).all(), sim.stats["tb_sent"]
