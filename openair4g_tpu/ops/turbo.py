@@ -423,6 +423,18 @@ def _half_iteration(lin, lp, W: int, U: int):
     return (llr01[0] + gu) - (llr01[1] - gu)
 
 
+def _half_iteration_dispatch(lin, lp, W: int, U: int):
+    """Pallas VMEM-resident kernel on accelerators (ops/turbo_pallas.py,
+    ~1.6x the XLA scan); the portable XLA path on CPU (tests / oracle).
+    Set OPENAIR4G_NO_PALLAS=1 to force the XLA path everywhere."""
+    import os
+    if jax.default_backend() != "cpu" and \
+            not os.environ.get("OPENAIR4G_NO_PALLAS"):
+        from .turbo_pallas import half_iteration_pallas
+        return half_iteration_pallas(lin, lp, W, U)
+    return _half_iteration(lin, lp, W, U)
+
+
 @dataclass(frozen=True)
 class TurboDecoderConfig:
     K: int                 # code block size (bits, incl. any CRC)
@@ -481,12 +493,12 @@ def turbo_decode(llr_d, cfg: TurboDecoderConfig):
         la1, done, bits_latched = carry
         # --- decoder 1 ---
         lin1 = jnp.concatenate([sys_ch + la1, tail1, pad], axis=1)
-        llr1 = _half_iteration(lin1, par1_p, W, U)
+        llr1 = _half_iteration_dispatch(lin1, par1_p, W, U)
         ext1 = llr1[:, :K] - lin1[:, :K]
         # --- decoder 2 --- (QPP (de)interleave = one-hot MXU matmul)
         apri2 = _permute(sys_ch + ext1, K, inverse=False)
         lin2 = jnp.concatenate([apri2, sys2_tail, pad], axis=1)
-        llr2 = _half_iteration(lin2, par2_p, W, U)
+        llr2 = _half_iteration_dispatch(lin2, par2_p, W, U)
         ext2 = llr2[:, :K] - lin2[:, :K]
         la1_new = _permute(ext2, K, inverse=True)
         # --- decision + CRC latch ---

@@ -64,3 +64,24 @@ def test_decode_with_noise_moderate_snr():
     assert np.asarray(ok).mean() >= 0.9
     good = np.asarray(ok)
     np.testing.assert_array_equal(np.asarray(out_bits)[good], bits[good])
+
+
+def test_pallas_half_iteration_matches_xla():
+    """The Pallas MAP kernel (interpret mode on CPU) must match the XLA
+    half-iteration on every interior node; window-boundary nodes may
+    differ only by the documented within-window beta warmup choice."""
+    import jax
+    import jax.numpy as jnp
+    from openair4g_tpu.ops import turbo
+    from openair4g_tpu.ops.turbo_pallas import half_iteration_pallas
+    B, W, U = 2, 48, 24
+    N = 96
+    rng = np.random.default_rng(3)
+    lin = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    lp = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    ref = np.asarray(turbo._half_iteration(lin, lp, W, U))
+    out = np.asarray(half_iteration_pallas(lin, lp, W, U, interpret=True))
+    interior = np.ones(N, bool)
+    interior[np.arange(W - 1, N, W)] = False
+    np.testing.assert_allclose(out[:, interior], ref[:, interior],
+                               rtol=1e-5, atol=1e-5)
