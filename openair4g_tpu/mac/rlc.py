@@ -1,0 +1,227 @@
+"""RLC: Unacknowledged and Acknowledged mode entities (36.322).
+
+Reference parity: openair2/LAYER2/RLC/ — UM_v9.3.0 (5/10-bit SN,
+segmentation/concatenation with FI/LI framing, reordering window,
+t-Reordering) and AM_v9.3.0/rlc_am.c (status PDUs with ACK_SN/NACK_SN,
+retransmission on NACK, polling, max-retx threshold -> RLF).
+
+Host-side protocol code (as in the reference); PDU payloads are `bytes`.
+Time is driven by explicit `tick()` calls (one per TTI) instead of
+threads + timers — deterministic under simulation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class UmPdu:
+    """One UM PDU: `chunks` are the LI-delimited SDU pieces (36.322 keeps
+    them as length indicators in the header; here the framing is explicit).
+    FI semantics: fi_start = first chunk begins an SDU; fi_end = last chunk
+    ends an SDU."""
+    sn: int
+    fi_start: bool
+    fi_end: bool
+    chunks: tuple
+
+    @property
+    def payload(self) -> bytes:
+        return b"".join(self.chunks)
+
+
+class RlcUm:
+    """Unacknowledged mode: segmentation + in-order delivery with a
+    reordering window."""
+
+    def __init__(self, sn_bits: int = 10, t_reordering: int = 10):
+        self.mod = 1 << sn_bits
+        self.window = self.mod // 2
+        self.t_reordering = t_reordering
+        # TX
+        self.vt_us = 0
+        self._txq: list[bytes] = []
+        self._tx_offset = 0
+        # RX
+        self.vr_ur = 0                      # earliest SN still expected
+        self._rx_buf: dict[int, UmPdu] = {}
+        self._timer = -1
+        self._sdu_acc = bytearray()
+        self._acc_valid = True
+        self.delivered: list[bytes] = []
+
+    # ------------------------------------------------------------------ TX --
+    def tx_enqueue(self, sdu: bytes) -> None:
+        self._txq.append(sdu)
+
+    def tx_pdu(self, size: int) -> UmPdu | None:
+        """Build one PDU of <= size payload bytes (segment + concatenate)."""
+        if not self._txq:
+            return None
+        fi_start = self._tx_offset == 0
+        chunks = []
+        n = 0
+        fi_end = True
+        while self._txq and n < size:
+            sdu = self._txq[0]
+            take = min(size - n, len(sdu) - self._tx_offset)
+            chunks.append(sdu[self._tx_offset:self._tx_offset + take])
+            n += take
+            if self._tx_offset + take == len(sdu):
+                self._txq.pop(0)
+                self._tx_offset = 0
+            else:
+                self._tx_offset += take
+                fi_end = False
+                break
+        pdu = UmPdu(sn=self.vt_us, fi_start=fi_start, fi_end=fi_end,
+                    chunks=tuple(chunks))
+        self.vt_us = (self.vt_us + 1) % self.mod
+        return pdu
+
+    # ------------------------------------------------------------------ RX --
+    def _sn_less(self, a: int, b: int) -> bool:
+        return ((b - a) % self.mod) < self.window and a != b
+
+    def rx_pdu(self, pdu: UmPdu) -> None:
+        if pdu.sn in self._rx_buf or self._sn_less(pdu.sn, self.vr_ur):
+            return                          # duplicate / stale
+        self._rx_buf[pdu.sn] = pdu
+        if self._timer < 0 and pdu.sn != self.vr_ur:
+            self._timer = self.t_reordering
+        self._advance()
+
+    def _advance(self) -> None:
+        while self.vr_ur in self._rx_buf:
+            pdu = self._rx_buf.pop(self.vr_ur)
+            self._reassemble(pdu)
+            self.vr_ur = (self.vr_ur + 1) % self.mod
+            self._timer = -1 if not self._rx_buf else self.t_reordering
+
+    def _reassemble(self, pdu: UmPdu) -> None:
+        for i, chunk in enumerate(pdu.chunks):
+            starts = (i > 0) or pdu.fi_start
+            ends = (i < len(pdu.chunks) - 1) or pdu.fi_end
+            if starts:
+                self._sdu_acc = bytearray()
+                self._acc_valid = True
+            if not self._acc_valid:
+                continue                    # head of this SDU was lost
+            self._sdu_acc += chunk
+            if ends:
+                self.delivered.append(bytes(self._sdu_acc))
+                self._sdu_acc = bytearray()
+
+    def tick(self) -> None:
+        """One TTI: expire t-Reordering -> skip the gap."""
+        if self._timer < 0:
+            return
+        self._timer -= 1
+        if self._timer >= 0:
+            return
+        # jump VR(UR) past the gap to the earliest buffered SN
+        if self._rx_buf:
+            sns = sorted(self._rx_buf,
+                         key=lambda s: (s - self.vr_ur) % self.mod)
+            self.vr_ur = sns[0]
+            self._acc_valid = False         # an SDU head may be missing
+            self._advance()
+
+
+# --------------------------------------------------------------------- AM --
+
+@dataclass
+class AmPdu:
+    sn: int
+    is_retx: bool
+    payload: bytes
+    poll: bool = False
+
+
+@dataclass
+class StatusPdu:
+    ack_sn: int                   # next expected SN
+    nack_sns: tuple = ()
+
+
+class RlcAm:
+    """Acknowledged mode: retransmission from status reports, max-retx
+    threshold signalling radio link failure (the reference hands this to
+    RRC)."""
+
+    def __init__(self, sn_bits: int = 10, max_retx: int = 4,
+                 poll_every: int = 8):
+        self.mod = 1 << sn_bits
+        self.max_retx = max_retx
+        self.poll_every = poll_every
+        self.vt_s = 0                       # next new SN
+        self.vt_a = 0                       # oldest unacked SN
+        self._sent: dict[int, AmPdu] = {}
+        self._retx_count: dict[int, int] = {}
+        self._retx_q: list[int] = []
+        self._pdus_since_poll = 0
+        self.rlf = False
+        # RX side
+        self.vr_r = 0
+        self._rx: dict[int, bytes] = {}
+        self.delivered: list[bytes] = []
+
+    # ------------------------------------------------------------------ TX --
+    def tx_pdu(self, sdu: bytes | None = None) -> AmPdu | None:
+        """Retransmissions first (reference rlc_am retx queue priority)."""
+        if self._retx_q:
+            sn = self._retx_q.pop(0)
+            pdu = self._sent[sn]
+            return AmPdu(sn=sn, is_retx=True, payload=pdu.payload,
+                         poll=True)
+        if sdu is None:
+            return None
+        self._pdus_since_poll += 1
+        poll = self._pdus_since_poll >= self.poll_every
+        if poll:
+            self._pdus_since_poll = 0
+        pdu = AmPdu(sn=self.vt_s, is_retx=False, payload=sdu, poll=poll)
+        self._sent[self.vt_s] = pdu
+        self._retx_count[self.vt_s] = 0
+        self.vt_s = (self.vt_s + 1) % self.mod
+        return pdu
+
+    def on_status(self, status: StatusPdu) -> None:
+        # release acked PDUs < ACK_SN (except NACKed)
+        nacked = set(status.nack_sns)
+        for sn in list(self._sent):
+            behind = ((status.ack_sn - 1 - sn) % self.mod) < self.mod // 2
+            if behind and sn not in nacked:
+                self._sent.pop(sn, None)
+                self._retx_count.pop(sn, None)
+                if sn in self._retx_q:
+                    self._retx_q.remove(sn)
+        self.vt_a = status.ack_sn
+        for sn in status.nack_sns:
+            if sn not in self._sent:
+                continue
+            self._retx_count[sn] += 1
+            if self._retx_count[sn] > self.max_retx:
+                self.rlf = True             # reference: maxRetx -> RRC
+            elif sn not in self._retx_q:
+                self._retx_q.append(sn)
+
+    # ------------------------------------------------------------------ RX --
+    def rx_pdu(self, pdu: AmPdu) -> StatusPdu | None:
+        if ((pdu.sn - self.vr_r) % self.mod) < self.mod // 2 \
+                and pdu.sn not in self._rx:
+            self._rx[pdu.sn] = pdu.payload
+        while self.vr_r in self._rx:
+            self.delivered.append(self._rx.pop(self.vr_r))
+            self.vr_r = (self.vr_r + 1) % self.mod
+        if pdu.poll:
+            missing = []
+            sn = self.vr_r
+            # only SNs in [vr_r, pdu.sn) can be missing; if vr_r already
+            # advanced past the polling SN, nothing is outstanding
+            while sn != pdu.sn and ((pdu.sn - sn) % self.mod) < self.mod // 2:
+                if sn not in self._rx:
+                    missing.append(sn)
+                sn = (sn + 1) % self.mod
+            return StatusPdu(ack_sn=self.vr_r, nack_sns=tuple(missing))
+        return None
