@@ -1,0 +1,160 @@
+"""DCI payload formats 0 (UL grant), 1 (DL type-0), 2A (open-loop MIMO),
+36.212 §5.3.3.1.
+
+Reference parity: openair1/PHY/LTE_TRANSPORT/dci.c (format structs
+DCI0_5MHz_TDD_1_6_t etc.) and dci_tools.c (generate_eNB_dlsch_params_from
+_dci / generate_ue_ulsch_params_from_dci — payload -> HARQ/allocation
+parameter extraction, which `unpack_*` mirrors).
+
+Format 1A lives in phy/pdcch.py (the original blind-decode target); these
+share its bit conventions (MSB-first fields). Format 0 is sized to format
+1A on purpose (the spec disambiguates them by the leading flag bit) — the
+blind decoder needs only one size hypothesis for both.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .pdcch import dci_format1a_size
+
+
+def _pack(fields) -> np.ndarray:
+    bits = []
+    for val, width in fields:
+        assert 0 <= val < (1 << width), (val, width)
+        bits += [(val >> (width - 1 - i)) & 1 for i in range(width)]
+    return np.asarray(bits, np.int8)
+
+
+class _Reader:
+    def __init__(self, bits):
+        self.bits = np.asarray(bits, np.int64)
+        self.pos = 0
+
+    def take(self, w: int) -> int:
+        v = 0
+        for _ in range(w):
+            v = (v << 1) | int(self.bits[self.pos])
+            self.pos += 1
+        return v
+
+
+def _riv(n_rb: int, rb_start: int, n_prb: int) -> int:
+    if (n_prb - 1) <= n_rb // 2:
+        return n_rb * (n_prb - 1) + rb_start
+    return n_rb * (n_rb - n_prb + 1) + (n_rb - 1 - rb_start)
+
+
+def _unriv(riv: int, n_rb: int) -> tuple:
+    lcrb = riv // n_rb + 1
+    rb_start = riv % n_rb
+    if rb_start + lcrb > n_rb:
+        lcrb = n_rb - lcrb + 2
+        rb_start = n_rb - 1 - rb_start
+    return rb_start, lcrb
+
+
+def n_rbg(n_rb_dl: int) -> int:
+    """Resource-block-group count for type-0 allocation (36.213 Table
+    7.1.6.1-1: P = 1/2/3/4 for <=10/<=26/<=63/<=110 RB)."""
+    p = 1 if n_rb_dl <= 10 else 2 if n_rb_dl <= 26 else \
+        3 if n_rb_dl <= 63 else 4
+    return -(-n_rb_dl // p), p
+
+
+# ------------------------------------------------------------- format 0 --
+
+def dci_format0_size(n_rb_ul: int) -> int:
+    """Padded to format 1A's size (36.212: one blind-decode size covers
+    both; the leading flag bit disambiguates)."""
+    return dci_format1a_size(n_rb_ul)
+
+
+def pack_dci_format0(n_rb_ul: int, rb_start: int, n_prb: int, mcs: int,
+                     ndi: int, tpc: int = 0, cshift_dmrs: int = 0,
+                     cqi_req: int = 0, hopping: int = 0) -> np.ndarray:
+    nriv = math.ceil(math.log2(n_rb_ul * (n_rb_ul + 1) / 2))
+    fields = [(0, 1),                       # flag: 0 = format 0
+              (hopping, 1),
+              (_riv(n_rb_ul, rb_start, n_prb), nriv),
+              (mcs, 5), (ndi, 1), (tpc, 2), (cshift_dmrs, 3),
+              (cqi_req, 1)]
+    bits = _pack(fields)
+    pad = dci_format0_size(n_rb_ul) - len(bits)
+    if pad > 0:
+        bits = np.concatenate([bits, np.zeros(pad, np.int8)])
+    return bits[:dci_format0_size(n_rb_ul)]
+
+
+def unpack_dci_format0(bits: np.ndarray, n_rb_ul: int) -> dict:
+    r = _Reader(bits)
+    flag = r.take(1)
+    nriv = math.ceil(math.log2(n_rb_ul * (n_rb_ul + 1) / 2))
+    hopping = r.take(1)
+    rb_start, n_prb = _unriv(r.take(nriv), n_rb_ul)
+    return dict(is_format0=flag == 0, hopping=hopping, rb_start=rb_start,
+                n_prb=n_prb, mcs=r.take(5), ndi=r.take(1), tpc=r.take(2),
+                cshift_dmrs=r.take(3), cqi_req=r.take(1))
+
+
+# ------------------------------------------------------------- format 1 --
+
+def dci_format1_size(n_rb_dl: int) -> int:
+    nbg, _ = n_rbg(n_rb_dl)
+    return nbg + 5 + 3 + 1 + 2 + 2
+
+
+def pack_dci_format1(n_rb_dl: int, rbg_bitmap: int, mcs: int, harq_pid: int,
+                     ndi: int, rv: int, tpc: int = 0) -> np.ndarray:
+    nbg, _ = n_rbg(n_rb_dl)
+    return _pack([(rbg_bitmap, nbg), (mcs, 5), (harq_pid, 3), (ndi, 1),
+                  (rv, 2), (tpc, 2)])
+
+
+def unpack_dci_format1(bits: np.ndarray, n_rb_dl: int) -> dict:
+    nbg, p = n_rbg(n_rb_dl)
+    r = _Reader(bits)
+    bitmap = r.take(nbg)
+    rbs = []
+    for g in range(nbg):
+        if (bitmap >> (nbg - 1 - g)) & 1:
+            rbs += [g * p + i for i in range(p) if g * p + i < n_rb_dl]
+    return dict(rbg_bitmap=bitmap, rb_list=tuple(rbs), mcs=r.take(5),
+                harq_pid=r.take(3), ndi=r.take(1), rv=r.take(2),
+                tpc=r.take(2))
+
+
+# ------------------------------------------------------------ format 2A --
+
+def dci_format2a_size(n_rb_dl: int, n_tx: int = 2) -> int:
+    nbg, _ = n_rbg(n_rb_dl)
+    precoding = 0 if n_tx == 2 else 2       # 36.212 Table 5.3.3.1.5A
+    return nbg + 2 + 3 + 1 + (5 + 1 + 2) * 2 + precoding
+
+
+def pack_dci_format2a(n_rb_dl: int, rbg_bitmap: int, harq_pid: int,
+                      tb_swap: int, mcs1: int, ndi1: int, rv1: int,
+                      mcs2: int, ndi2: int, rv2: int, tpc: int = 0,
+                      n_tx: int = 2) -> np.ndarray:
+    nbg, _ = n_rbg(n_rb_dl)
+    fields = [(rbg_bitmap, nbg), (tpc, 2), (harq_pid, 3), (tb_swap, 1),
+              (mcs1, 5), (ndi1, 1), (rv1, 2),
+              (mcs2, 5), (ndi2, 1), (rv2, 2)]
+    if n_tx == 4:
+        fields.append((0, 2))
+    return _pack(fields)
+
+
+def unpack_dci_format2a(bits: np.ndarray, n_rb_dl: int,
+                        n_tx: int = 2) -> dict:
+    nbg, _ = n_rbg(n_rb_dl)
+    r = _Reader(bits)
+    out = dict(rbg_bitmap=r.take(nbg), tpc=r.take(2), harq_pid=r.take(3),
+               tb_swap=r.take(1))
+    for q in (1, 2):
+        out[f"mcs{q}"] = r.take(5)
+        out[f"ndi{q}"] = r.take(1)
+        out[f"rv{q}"] = r.take(2)
+    return out
