@@ -158,3 +158,56 @@ def unpack_dci_format2a(bits: np.ndarray, n_rb_dl: int,
         out[f"ndi{q}"] = r.take(1)
         out[f"rv{q}"] = r.take(2)
     return out
+
+
+# ------------------------------------------------------------- format 2 --
+# Closed-loop spatial multiplexing (TM4): format 2A + a precoding-
+# information field telling the UE which codebook entry (and rank) the
+# eNB applied (36.212 §5.3.3.1.5, Table 5.3.3.1.5-4: 3 bits for 2 TX
+# ports, 6 bits for 4). Reference parity: dci.c format-2 structs
+# (DCI2_5MHz_2A_M10PRB... ) and dci_tools.c's precoding-info -> PMI
+# mapping.
+#
+# 2-TX precoding-info codepoints (Table 5.3.3.1.5-4):
+#   2 codewords (rank 2): 0 -> identity/2 layers no PMI swap,
+#     1/2 -> codebook index 1/2 (the two rank-2 entries)
+#   1 codeword (rank 1): 0..3 -> codebook index 0..3
+
+def dci_format2_precoding_bits(n_tx: int = 2) -> int:
+    return 3 if n_tx == 2 else 6
+
+
+def dci_format2_size(n_rb_dl: int, n_tx: int = 2) -> int:
+    return dci_format2a_size(n_rb_dl, n_tx=4 if n_tx == 4 else 2) + \
+        dci_format2_precoding_bits(n_tx) - (0 if n_tx == 2 else 2)
+
+
+def pack_dci_format2(n_rb_dl: int, rbg_bitmap: int, harq_pid: int,
+                     tb_swap: int, mcs1: int, ndi1: int, rv1: int,
+                     mcs2: int, ndi2: int, rv2: int, precoding: int,
+                     tpc: int = 0, n_tx: int = 2) -> np.ndarray:
+    nbg, _ = n_rbg(n_rb_dl)
+    fields = [(rbg_bitmap, nbg), (tpc, 2), (harq_pid, 3), (tb_swap, 1),
+              (mcs1, 5), (ndi1, 1), (rv1, 2),
+              (mcs2, 5), (ndi2, 1), (rv2, 2),
+              (precoding, dci_format2_precoding_bits(n_tx))]
+    return _pack(fields)
+
+
+def unpack_dci_format2(bits: np.ndarray, n_rb_dl: int,
+                       n_tx: int = 2) -> dict:
+    out = unpack_dci_format2a(bits, n_rb_dl, n_tx=2)
+    r = _Reader(bits)
+    r.pos = dci_format2a_size(n_rb_dl, n_tx=2)
+    pinfo = r.take(dci_format2_precoding_bits(n_tx))
+    # decode to (rank, pmi) for the 2-TX codebook; cw2 enabled => rank 2
+    two_cw = out["mcs2"] != 0 or out["rv2"] != 0
+    if n_tx == 2:
+        if two_cw:
+            rank, pmi = 2, pinfo  # 0: no-PMI(identity), 1/2: CB idx 1/2
+        else:
+            rank, pmi = 1, pinfo
+    else:
+        rank, pmi = (2 if two_cw else 1), pinfo
+    out.update(precoding_info=pinfo, rank=rank, pmi=pmi)
+    return out

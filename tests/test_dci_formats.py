@@ -71,3 +71,25 @@ def test_format0_blind_decode_through_pdcch():
     assert np.asarray(found).all()
     d = unpack_dci_format0(np.asarray(pay[0]), n_rb)
     assert d["is_format0"] and d["rb_start"] == 2 and d["n_prb"] == 8
+
+
+def test_format2_roundtrip_and_size():
+    from openair4g_tpu.phy.dci_formats import (
+        pack_dci_format2, unpack_dci_format2, dci_format2_size,
+        dci_format2a_size)
+    n_rb = 25
+    assert dci_format2_size(n_rb, 2) == dci_format2a_size(n_rb, 2) + 3
+    assert dci_format2_size(n_rb, 4) == dci_format2a_size(n_rb, 2) + 6
+    b = pack_dci_format2(n_rb, rbg_bitmap=0x0FF, harq_pid=3, tb_swap=1,
+                         mcs1=15, ndi1=0, rv1=1, mcs2=9, ndi2=1, rv2=3,
+                         precoding=2)
+    assert len(b) == dci_format2_size(n_rb, 2)
+    d = unpack_dci_format2(b, n_rb)
+    assert d["precoding_info"] == 2 and d["rank"] == 2 and d["pmi"] == 2
+    assert d["mcs1"] == 15 and d["mcs2"] == 9 and d["tb_swap"] == 1
+    # rank-1: second codeword disabled (mcs2=0, rv2=0)
+    b1 = pack_dci_format2(n_rb, rbg_bitmap=0x3, harq_pid=0, tb_swap=0,
+                          mcs1=5, ndi1=1, rv1=0, mcs2=0, ndi2=0, rv2=0,
+                          precoding=3)
+    d1 = unpack_dci_format2(b1, n_rb)
+    assert d1["rank"] == 1 and d1["pmi"] == 3
