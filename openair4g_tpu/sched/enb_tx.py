@@ -70,15 +70,27 @@ class EnbTx:
                             / np.sqrt(2)).astype(np.complex64)
 
         # ---- PDCCH: one DCI format 1A for the scheduled UE --------------
-        self.dci_payload = pack_dci_format1a(
-            cfg.n_rb, rb_start=cfg.rb_start, n_prb=cfg.n_prb, mcs=cfg.mcs,
-            harq_pid=0, ndi=1, rv=0)
-        assert len(self.dci_payload) == dci_format1a_size(cfg.n_rb)
-        e = dci_encode(self.dci_payload, cfg.rnti, cfg.dci_L)
         n_cce = self.crm.n_cce
         assert cfg.dci_cce_offset + cfg.dci_L <= n_cce
         self.pdcch_scr = pdcch_scramble_seq(cfg.n_id_cell, ns,
                                             n_cce * BITS_PER_CCE)
+        self.set_dci_payload(pack_dci_format1a(
+            cfg.n_rb, rb_start=cfg.rb_start, n_prb=cfg.n_prb, mcs=cfg.mcs,
+            harq_pid=0, ndi=1, rv=0))
+        assert len(self.dci_payload) == dci_format1a_size(cfg.n_rb)
+
+        # ---- PHICH group 0 geometry -------------------------------------
+        self._init_phich(ns)
+
+    def set_dci_payload(self, payload: np.ndarray) -> None:
+        """(Re)encode the PDCCH with an arbitrary DCI payload (any format
+        of the 1A/0 size class, or other sizes that fit dci_L CCEs) —
+        lets sims carry UL grants (format 0) or MIMO grants through the
+        same control region."""
+        cfg = self.cfg
+        n_cce = self.crm.n_cce
+        self.dci_payload = np.asarray(payload, np.int8)
+        e = dci_encode(self.dci_payload, cfg.rnti, cfg.dci_L)
         full = np.zeros(n_cce * BITS_PER_CCE, np.int8)
         s = cfg.dci_cce_offset * BITS_PER_CCE
         full[s:s + len(e)] = e ^ self.pdcch_scr[s:s + len(e)]
@@ -87,7 +99,8 @@ class EnbTx:
         used[s // 2:(s + len(e)) // 2] = True
         self.pdcch_syms = np.where(used, syms, 0).astype(np.complex64)
 
-        # ---- PHICH group 0 geometry -------------------------------------
+    def _init_phich(self, ns: int) -> None:
+        cfg = self.cfg
         self.phich_sc = phich_reg_positions(cfg.n_rb, cfg.n_id_cell,
                                             cfg.n_phich_groups)   # [G, 12]
         self.phich_bin = self.fp.sc_to_bin(self.phich_sc.reshape(-1)).reshape(

@@ -91,3 +91,44 @@ def test_tdd_patterns():
     assert s["dwpts"] + s["gp"] + s["uppts"] == 14
     m = direction_mask(0)
     assert list(m) == [0, 2, 1, 1, 1, 0, 2, 1, 1, 1]
+
+
+# ------------------------------------------- PDCCH-granted PUSCH loop ----
+
+def test_ul_grant_loop_good_snr():
+    """Format-0 grant over clean DL -> UE transmits granted PUSCH -> eNB
+    decodes: no DCI misses, no TB errors at high SNR."""
+    from openair4g_tpu.sim.ulgrantsim import UlGrantSim, UlGrantConfig
+    sim = UlGrantSim(UlGrantConfig(n_rb=25, mcs_ul=6, rb_offset=2,
+                                   n_prb=12, n_harq_rounds=1, batch=8,
+                                   n_turbo_iter=4))
+    dci_errs, errs, reach = sim.run_snr(snr_dl=20.0, snr_ul=20.0,
+                                        n_frames=8)
+    assert dci_errs == 0
+    assert errs[0] == 0 and reach[0] == 8
+
+
+def test_ul_grant_dci_miss_silences_ue():
+    """At hopeless DL SNR the UE misses the grant and stays silent: every
+    trial is a DCI error and the TB never decodes (DTX)."""
+    from openair4g_tpu.sim.ulgrantsim import UlGrantSim, UlGrantConfig
+    sim = UlGrantSim(UlGrantConfig(n_rb=25, mcs_ul=6, rb_offset=2,
+                                   n_prb=12, n_harq_rounds=1, batch=8,
+                                   n_turbo_iter=4))
+    dci_errs, errs, _ = sim.run_snr(snr_dl=-30.0, snr_ul=20.0, n_frames=8)
+    assert dci_errs == 8
+    assert errs[0] == 8
+
+
+def test_ul_grant_harq_recovers_marginal_snr():
+    """rv-cycling HARQ: at marginal UL SNR later rounds clear errors that
+    round 0 leaves."""
+    from openair4g_tpu.sim.ulgrantsim import UlGrantSim, UlGrantConfig
+    sim = UlGrantSim(UlGrantConfig(n_rb=25, mcs_ul=10, rb_offset=0,
+                                   n_prb=20, n_harq_rounds=3, batch=16,
+                                   n_turbo_iter=5))
+    dci_errs, errs, reach = sim.run_snr(snr_dl=20.0, snr_ul=-2.5,
+                                        n_frames=16)
+    assert dci_errs == 0
+    assert errs[0] > 0, "expected round-0 errors at -2.5 dB"
+    assert errs[-1] < errs[0], "HARQ rounds must recover some trials"
