@@ -80,7 +80,45 @@ class OaisimConfig:
     onoff_p: float = 0.5
     mac: str = "rr"                  # "rr" round-robin | "pf" prop-fair
     n_turbo_iter: int = 6
+    n_harq_rounds: int = 1           # >1 enables HARQ in the emulator loop
     seed: int = 0
+
+    @staticmethod
+    def from_scenario(sc: dict) -> "OaisimConfig":
+        """OCG-style scenario dict -> config (the reference's XML scenario
+        files, openair2/UTIL/OCG/OCG_parse_XML.c, carried as JSON here).
+
+        Sections mirror OCG: topology / channel / application / emulation."""
+        topo = sc.get("topology", {})
+        chan = sc.get("channel", {})
+        app = sc.get("application", {})
+        emu = sc.get("emulation", {})
+        return OaisimConfig(
+            n_enb=topo.get("n_enb", 2), n_ue=topo.get("n_ue", 8),
+            cell_spacing=topo.get("cell_spacing_m", 500.0),
+            speed_mps=topo.get("ue_speed_mps", 1.0),
+            n_rb=chan.get("n_rb", 25), mcs=chan.get("mcs", 4),
+            channel=chan.get("model", "EPA"),
+            tx_power_db=chan.get("tx_power_db", 0.0),
+            pathloss_exp=chan.get("pathloss_exponent", 3.5),
+            traffic=app.get("traffic", "full"),
+            onoff_p=app.get("onoff_p", 0.5),
+            mode=emu.get("mode", "abstraction"),
+            mac=emu.get("mac", "rr"),
+            n_harq_rounds=emu.get("n_harq_rounds", 1),
+            seed=emu.get("seed", 0))
+
+
+def run_scenario(path_or_dict, n_frames: int | None = None) -> dict:
+    """Run an OCG-style JSON scenario file (or dict) end to end."""
+    import json
+    sc = path_or_dict
+    if not isinstance(sc, dict):
+        with open(sc) as f:
+            sc = json.load(f)
+    sim = Oaisim(OaisimConfig.from_scenario(sc))
+    frames = n_frames or sc.get("emulation", {}).get("n_frames", 10)
+    return sim.run_frames(frames)
 
 
 class Oaisim:
@@ -118,8 +156,14 @@ class Oaisim:
             self._init_phy_mode()
         self.stats = dict(tb_sent=np.zeros(cfg.n_ue, np.int64),
                           tb_err=np.zeros(cfg.n_ue, np.int64),
-                          bits_ok=np.zeros(cfg.n_ue, np.int64))
+                          bits_ok=np.zeros(cfg.n_ue, np.int64),
+                          retx=np.zeros(cfg.n_ue, np.int64))
         self._frame = 0
+        # HARQ state (abstraction: accumulated effective SINR = chase
+        # combining; phy: per-eNB soft buffers carried across TTIs)
+        self.harq_round = np.zeros(cfg.n_ue, np.int32)
+        self.harq_pending = np.zeros(cfg.n_ue, bool)
+        self.acc_eff = np.zeros(cfg.n_ue, np.float32)
 
     # ----------------------------------------------------------- topology --
     def _update_links(self):
@@ -158,6 +202,8 @@ class Oaisim:
             for u, ctx in enumerate(self._ue_ctx):
                 ctx.cqi = int(np.clip(round(sinr_db[u] / 2 + 3), 1, 15))
                 ctx.drx = not bool(active[u])
+                ctx.pending_retx = bool(self.harq_pending[u])
+                ctx.retx_rv = 0       # chase combining in the emulator
             for e in range(cfg.n_enb):
                 cell = [self._ue_ctx[u] for u in range(cfg.n_ue)
                         if self.serving[u] == e]
@@ -166,16 +212,22 @@ class Oaisim:
             return mask
         for e in range(cfg.n_enb):
             ues = np.nonzero((self.serving == e) & active)[0]
-            if len(ues):
-                mask[ues[tti % len(ues)]] = True
+            if not len(ues):
+                continue
+            # HARQ retransmissions keep the grant (reference pass-1 rule)
+            retx = ues[self.harq_pending[ues]]
+            mask[retx[0] if len(retx) else ues[tti % len(ues)]] = True
         return mask
 
     # ----------------------------------------------- abstraction-mode TTI --
-    def _tti_step_abs(self, taps, keys, p_rx, serving_onehot, sched):
+    def _tti_step_abs(self, taps, keys, p_rx, serving_onehot, sched,
+                      acc_eff):
         """One abstraction-mode TTI for all UEs.
 
         taps: [U*E, ...] fading state; p_rx [U, E]; serving_onehot [U, E];
-        sched [U] bool. Returns (new_taps, err [U] bool)."""
+        sched [U] bool; acc_eff [U] = accumulated effective SINR of the
+        pending HARQ process (chase combining adds effective SINR — 0 for
+        new TBs). Returns (new_taps, err [U] bool, eff_combined [U])."""
         cfg = self.cfg
         U, E = cfg.n_ue, cfg.n_enb
         ev_keys = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -185,7 +237,7 @@ class Oaisim:
         sig = jnp.sum(serving_onehot[:, :, None] * g, axis=1)
         intf = jnp.sum(g, axis=1) - sig
         sinr = sig / (intf + 1.0)                            # n0 = 1
-        eff = eesm(sinr, self.beta)                          # [U]
+        eff = eesm(sinr, self.beta) + acc_eff                # [U] combined
         bler = self.table.lookup(eff)
         err = draw_block_errors(ev_keys[:, 1][0], bler)      # one key is fine
         return taps, err & sched, eff
@@ -206,11 +258,27 @@ class Oaisim:
         self.wieners = [jnp.asarray(make_wiener_stack(gm, 0.25))
                         for gm in self.gms]
         self._phy = jax.jit(self._tti_step_phy)
+        # HARQ: per-eNB persistent TB + per-(eNB, UE) soft buffers, plus
+        # which UE each eNB's open process is bound to (-1 = none)
+        U, E = cfg.n_ue, cfg.n_enb
+        self._phy_tb = jnp.zeros((E, self.tbs), jnp.int32)
+        self._phy_wsoft = [
+            [jnp.zeros((U, m.Kw), jnp.float32) for m in self.codec.maps]
+            for _ in range(E)]
+        self._phy_bound = np.full(E, -1, np.int32)
+        self._phy_round = np.zeros(E, np.int32)
 
-    def _tti_step_phy(self, taps, keys, p_rx, serving, sched, wieners):
+    def _tti_step_phy(self, taps, keys, p_rx, serving, sched, wieners,
+                      tb_prev, wsoft, clear):
         """Bit-level TTI: every eNB transmits a PDSCH subframe to its
         scheduled UE; every UE receives the superposition of all eNBs
-        through its own per-link channels."""
+        through its own per-link channels.
+
+        HARQ (chase combining): `tb_prev` [E, TBS] is each eNB's open
+        TB, `wsoft` the per-(eNB,block) soft buffers [U, L], `clear` [E]
+        1.0 where a NEW TB starts (buffers zeroed, fresh bits drawn) —
+        the device-side equivalent of harq_process->w with the
+        round-0 clear flag (dlsch_decoding.c:360)."""
         from ..phy.resource_grid import fill_grid
         from ..phy.channel_est import estimate_channel
         from ..ops.llr import map_symbols, demap_llr
@@ -220,9 +288,13 @@ class Oaisim:
         ev = jax.vmap(lambda k: jax.random.split(k, 3))(keys)   # [U*E, 3, 2]
         taps = self.chan.evolve_taps(taps, ev[:, 0])
 
-        # eNB TX: one TB per eNB (for its scheduled UE)
-        tb = jax.vmap(lambda k: jax.random.bernoulli(
+        # eNB TX: one TB per eNB; fresh bits where `clear`, else the open
+        # HARQ process retransmits (chase)
+        fresh = jax.vmap(lambda k: jax.random.bernoulli(
             k, 0.5, (self.tbs,)))(ev[:E, 1]).astype(jnp.int32)   # [E, TBS]
+        tb = jnp.where(clear[:, None] > 0.5, fresh, tb_prev)
+        wsoft = [[w * (1.0 - clear[e]) for w in wsoft[e]]
+                 for e in range(E)]
         e_bits = self.codec.encode(tb)
         syms = map_symbols(e_bits, self.Qm).astype(jnp.complex64)
         grids = jnp.stack([fill_grid(syms[e:e + 1], self.gms[e])[0]
@@ -244,8 +316,10 @@ class Oaisim:
             k, (self.fp.symbols_per_subframe, self.fp.n_fft, 2)))(nkey)
         rgrid = rgrid + jnp.sqrt(0.5) * (nr[..., 0] + 1j * nr[..., 1])
 
-        # UE RX: serving-cell pilots -> CE -> equalize -> decode
-        errs = []
+        # UE RX: serving-cell pilots -> CE -> equalize -> decode (with the
+        # carried soft buffers: HARQ combining at every UE, the serving
+        # one's entry is the meaningful one)
+        errs, new_wsoft = [], []
         for e in range(E):
             gm = self.gms[e]
             H_hat = estimate_channel(rgrid, gm, wieners[e], time_avg=True)
@@ -254,13 +328,13 @@ class Oaisim:
             g = jnp.maximum(jnp.abs(h) ** 2, 1e-9)
             llr = demap_llr(y * jnp.conj(h) / g, 1.0 / g,
                             self.Qm).reshape(U, -1)
-            _, ok, _ = self.codec.decode(llr)
-            tb_err = ~ok                                         # [U]
-            errs.append(tb_err)
+            _, ok, w_new = self.codec.decode(llr, w_soft=wsoft[e])
+            errs.append(~ok)                                     # [U]
+            new_wsoft.append(w_new)
         err_by_serving = jnp.stack(errs, axis=1)                 # [U, E]
         err = jnp.take_along_axis(err_by_serving, serving[:, None],
                                   axis=1)[:, 0]
-        return taps, err & sched
+        return taps, err & sched, tb, new_wsoft
 
     # --------------------------------------------------------------- run --
     def run_frames(self, n_frames: int):
@@ -276,19 +350,70 @@ class Oaisim:
                 if cfg.mode == "abstraction":
                     self.taps, err, eff = self._tti(
                         self.taps, keys, jnp.asarray(self.p_rx),
-                        jnp.asarray(serving_onehot), jnp.asarray(sched))
+                        jnp.asarray(serving_onehot), jnp.asarray(sched),
+                        jnp.asarray(self.acc_eff))
+                    self._harq_update(sched, np.asarray(err),
+                                      np.asarray(eff))
                 else:
-                    self.taps, err = self._phy(
+                    clear = self._phy_clear_mask(sched)
+                    (self.taps, err, self._phy_tb,
+                     self._phy_wsoft) = self._phy(
                         self.taps, keys, jnp.asarray(self.p_rx),
                         jnp.asarray(self.serving), jnp.asarray(sched),
-                        self.wieners)
-                err = np.asarray(err)
-                self.stats["tb_sent"] += sched
-                self.stats["tb_err"] += err & sched
-                self.stats["bits_ok"] += (sched & ~err) * self.tbs
+                        self.wieners, self._phy_tb, self._phy_wsoft,
+                        jnp.asarray(clear))
+                    self._harq_update(sched, np.asarray(err), None)
             self._mobility_step()
             self._frame += 1
         return self.summary()
+
+    def _phy_clear_mask(self, sched: np.ndarray) -> np.ndarray:
+        """[E] 1.0 where the eNB starts a NEW TB this TTI: no open HARQ
+        process, or the open process is bound to a different UE than the
+        one scheduled now (rebinding drops the old process)."""
+        cfg = self.cfg
+        clear = np.ones(cfg.n_enb, np.float32)
+        for e in range(cfg.n_enb):
+            ues = np.nonzero(sched & (self.serving == e))[0]
+            if not len(ues):
+                continue
+            u = int(ues[0])
+            if self.harq_pending[u] and self._phy_bound[e] == u:
+                clear[e] = 0.0
+            self._phy_bound[e] = u
+        return clear
+
+    def _harq_update(self, sched: np.ndarray, err: np.ndarray,
+                     eff: np.ndarray | None) -> None:
+        """Host HARQ bookkeeping after one TTI (both modes).
+
+        New TB when the UE had no pending process; on error the process
+        stays open (chase combining) until n_harq_rounds, then the TB is
+        lost — the reference's round/Mdlharq accounting
+        (dlsch_decoding.c:455-476)."""
+        R = self.cfg.n_harq_rounds
+        for u in np.nonzero(sched)[0]:
+            new_tb = not self.harq_pending[u]
+            if new_tb:
+                self.stats["tb_sent"][u] += 1
+                self.harq_round[u] = 0
+                self.acc_eff[u] = 0.0
+            else:
+                self.stats["retx"][u] += 1
+            if not err[u]:
+                self.stats["bits_ok"][u] += self.tbs
+                self.harq_pending[u] = False
+                self.acc_eff[u] = 0.0
+                continue
+            self.harq_round[u] += 1
+            if self.harq_round[u] >= R:
+                self.stats["tb_err"][u] += 1          # lost after R rounds
+                self.harq_pending[u] = False
+                self.acc_eff[u] = 0.0
+            else:
+                self.harq_pending[u] = True
+                if eff is not None:
+                    self.acc_eff[u] = eff[u]          # combined so far
 
     def summary(self) -> dict:
         sent = np.maximum(self.stats["tb_sent"], 1)
@@ -298,4 +423,5 @@ class Oaisim:
                     per_ue_bler=per_ue_bler,
                     mean_bler=float(per_ue_bler.mean()),
                     sum_throughput_mbps=float(thr.sum() / 1e6),
+                    retx_total=int(self.stats["retx"].sum()),
                     serving=self.serving.copy())

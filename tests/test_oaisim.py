@@ -71,3 +71,64 @@ def test_pf_mac_in_oaisim():
     out = sim.run_frames(10)
     # PF serves every UE at least once over 100 TTIs
     assert (sim.stats["tb_sent"] > 0).all(), sim.stats["tb_sent"]
+
+
+# --------------------------------------------------- HARQ in the emulator
+
+def test_harq_improves_residual_bler_abstraction():
+    """At marginal power the 4-round chase-combined residual BLER must be
+    well below the 1-round BLER (SINR accumulates across rounds)."""
+    base = dict(n_enb=1, n_ue=8, n_rb=6, mcs=10, tx_power_db=24.0,
+                mode="abstraction", speed_mps=0.0, seed=11)
+    one = Oaisim(OaisimConfig(**base, n_harq_rounds=1))
+    one.run_frames(30)
+    four = Oaisim(OaisimConfig(**base, n_harq_rounds=4))
+    out4 = four.run_frames(30)
+    sent1 = np.maximum(one.stats["tb_sent"], 1).sum()
+    bler1 = one.stats["tb_err"].sum() / sent1
+    sent4 = np.maximum(four.stats["tb_sent"], 1).sum()
+    bler4 = four.stats["tb_err"].sum() / sent4
+    assert bler1 > 0.2, f"need a marginal operating point, got {bler1}"
+    assert out4["retx_total"] > 0
+    assert bler4 < bler1 * 0.5, (bler1, bler4)
+
+
+def test_harq_phy_mode_soft_combining():
+    """Bit-level HARQ: at an SNR where single-shot decoding mostly fails,
+    soft-buffer chase combining across rounds recovers most TBs."""
+    base = dict(n_enb=1, n_ue=2, n_rb=6, mcs=6, tx_power_db=22.0,
+                mode="phy", channel="AWGN", speed_mps=0.0,
+                n_turbo_iter=4, seed=12)
+    one = Oaisim(OaisimConfig(**base, n_harq_rounds=1))
+    one.run_frames(4)
+    sent1 = np.maximum(one.stats["tb_sent"].sum(), 1)
+    bler1 = one.stats["tb_err"].sum() / sent1
+    four = Oaisim(OaisimConfig(**base, n_harq_rounds=4))
+    four.run_frames(4)
+    sent4 = np.maximum(four.stats["tb_sent"].sum(), 1)
+    bler4 = four.stats["tb_err"].sum() / sent4
+    assert bler1 > 0.3, f"need failures at round 0, got {bler1}"
+    assert four.stats["retx"].sum() > 0
+    assert bler4 < bler1, (bler1, bler4)
+
+
+def test_scenario_config_runs():
+    """OCG-style JSON scenario -> full emulation run."""
+    import json, tempfile, os
+    from openair4g_tpu.sim.oaisim import run_scenario
+    sc = {"topology": {"n_enb": 2, "n_ue": 6, "cell_spacing_m": 400.0,
+                       "ue_speed_mps": 0.0},
+          "channel": {"n_rb": 6, "mcs": 4, "model": "EPA",
+                      "tx_power_db": 45.0},
+          "application": {"traffic": "full"},
+          "emulation": {"mode": "abstraction", "mac": "pf",
+                        "n_harq_rounds": 4, "n_frames": 5, "seed": 3}}
+    out = run_scenario(sc)
+    assert out["frames"] == 5
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(sc, f)
+        path = f.name
+    out2 = run_scenario(path, n_frames=2)
+    os.unlink(path)
+    assert out2["frames"] == 2
