@@ -78,3 +78,55 @@ class TestTimeSharded:
         pos_ref, nid2_ref, _ = cs.pss_correlate(jnp.asarray(r))
         assert np.array_equal(np.asarray(pos), np.asarray(pos_ref))
         assert np.array_equal(np.asarray(nid2), np.asarray(nid2_ref))
+
+
+# --------------------------------------------- multi-host entry point ----
+
+def test_distributed_sweep_matches_unsharded():
+    """DistributedSweep on the 8-device mesh produces bit-identical error
+    counts to the plain single-device accumulation (global-key
+    determinism, SURVEY.md §4 multi-host requirement)."""
+    import jax
+    from openair4g_tpu.sim.dlsim import DlsimAwgn, DlsimConfig
+    from openair4g_tpu.parallel.distributed import (DistributedSweep,
+                                                    global_mesh)
+    sim = DlsimAwgn(DlsimConfig(mcs=4, n_rb=6, n_turbo_iter=4, batch=32))
+    mesh = global_mesh()
+    assert mesh.shape["ue"] == 8
+    sweep = DistributedSweep(sim._trial_step, mesh=mesh,
+                             batch_per_device=4)
+    snr = -0.5
+    errs, trials, _ = sweep.run_snr(snr, 32)
+    ref_errs, ref_trials = sim.run_snr(snr, 32)
+    assert trials == ref_trials == 32
+    assert errs == ref_errs, (errs, ref_errs)
+
+
+def test_distributed_sweep_checkpoint_resume(tmp_path):
+    """Interrupted sweep resumes from the checkpoint without repeating
+    finished chunks (stream index advances monotonically)."""
+    from openair4g_tpu.sim.dlsim import DlsimAwgn, DlsimConfig
+    from openair4g_tpu.parallel.distributed import distributed_bler_sweep
+
+    def factory():
+        sim = DlsimAwgn(DlsimConfig(mcs=4, n_rb=6, n_turbo_iter=4))
+        sim.trial_ok = sim._trial_step
+        return sim
+
+    ck = str(tmp_path / "sweep.json")
+    rows1 = distributed_bler_sweep(factory, [0.0], 32, batch_per_device=4,
+                                   ckpt_path=ck, verbose=False)
+    # resume with a larger target: only the delta runs, counts accumulate
+    rows2 = distributed_bler_sweep(factory, [0.0], 64, batch_per_device=4,
+                                   ckpt_path=None, verbose=False)
+    import json
+    with open(ck) as f:
+        d = json.load(f)
+    # re-run same config+target: fully resumed, nothing recomputed
+    rows3 = distributed_bler_sweep(factory, [0.0], 32, batch_per_device=4,
+                                   ckpt_path=ck, verbose=False)
+    with open(ck) as f:
+        d2 = json.load(f)
+    assert rows3 == rows1
+    assert d2 == d
+    assert rows1[0][2] == 32 and rows2[0][2] == 64
