@@ -94,7 +94,8 @@ def resumable_sweep(sim, snrs, n_frames: int, ckpt_path: str | None = None,
             if ckpt_path:
                 state.save(ckpt_path)
         errs = np.atleast_1d(errs)
-        trials = np.atleast_1d(trials)
+        # scalar trials (e.g. per-codeword errs sharing one trial count)
+        trials = np.broadcast_to(np.atleast_1d(trials), errs.shape)
         bler = errs / np.maximum(trials, 1)
         rows.append((s, errs, trials, bler))
         if verbose:
@@ -117,6 +118,8 @@ def dlsim_main(argv=None):
         prog="dlsim", description="PDSCH BLER Monte-Carlo (dlsim equivalent)")
     p.add_argument("-m", "--mcs", type=int, default=4)
     p.add_argument("-B", "--n-rb", type=int, default=25)
+    p.add_argument("-x", "--tm", type=int, default=1,
+                   help="transmission mode: 1 SISO | 2 SFBC | 3-6 SM")
     p.add_argument("-g", "--channel", default="AWGN",
                    help="AWGN | EPA | EVA | ETU")
     p.add_argument("-s", "--snr0", type=float, default=-4.0)
@@ -132,7 +135,17 @@ def dlsim_main(argv=None):
     a = p.parse_args(argv)
 
     snrs = np.arange(a.snr0, a.snr1 + 1e-9, a.snr_step)
-    if a.channel.upper() == "AWGN":
+    if a.tm == 2:
+        from .dlsim_mimo import DlsimTxDiv, DlsimTxDivConfig
+        sim = DlsimTxDiv(DlsimTxDivConfig(mcs=a.mcs, n_rb=a.n_rb,
+                                          batch=a.batch,
+                                          n_turbo_iter=a.turbo_iter))
+    elif a.tm in (3, 4, 5, 6):
+        from .dlsim_sm import DlsimSm, DlsimSmConfig
+        sim = DlsimSm(DlsimSmConfig(tm=a.tm, mcs=a.mcs, n_rb=a.n_rb,
+                                    batch=a.batch,
+                                    n_turbo_iter=a.turbo_iter))
+    elif a.channel.upper() == "AWGN":
         sim = DlsimAwgn(DlsimConfig(mcs=a.mcs, n_rb=a.n_rb, batch=a.batch,
                                     n_turbo_iter=a.turbo_iter))
     else:
@@ -146,5 +159,44 @@ def dlsim_main(argv=None):
         tbs = get_TBS_DL(a.mcs, a.n_rb)
         G = get_G_dl(a.n_rb, get_Qm(a.mcs), 1)
         write_bler_csv(a.csv, rows, a.mcs, tbs, tbs / G)
+        print(f"wrote {a.csv}")
+    return rows
+
+
+def fullsim_main(argv=None):
+    """Full-chain (eNB TX -> UE RX incl. control channels) sweep CLI with
+    the same CSV schema; the dci_err column carries real blind-decode
+    misses (dlsim.c errs[0] accounting)."""
+    import argparse
+    from .fullsim import FullChainSim, FullsimConfig
+    from ..tables.tbs import get_TBS_DL, get_Qm, get_G_dl
+
+    p = argparse.ArgumentParser(
+        prog="fullsim", description="full eNB-TX -> UE-RX chain BLER")
+    p.add_argument("-m", "--mcs", type=int, default=4)
+    p.add_argument("-B", "--n-rb", type=int, default=25)
+    p.add_argument("-g", "--channel", default="AWGN")
+    p.add_argument("-s", "--snr0", type=float, default=-4.0)
+    p.add_argument("-S", "--snr1", type=float, default=4.0)
+    p.add_argument("-i", "--snr-step", type=float, default=0.5)
+    p.add_argument("-n", "--n-frames", type=int, default=256)
+    p.add_argument("-b", "--batch", type=int, default=32)
+    p.add_argument("-r", "--harq-rounds", type=int, default=4)
+    p.add_argument("-o", "--csv", default=None)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    sim = FullChainSim(FullsimConfig(
+        n_rb=a.n_rb, mcs=a.mcs, channel=a.channel.upper(), batch=a.batch,
+        n_harq_rounds=a.harq_rounds))
+    snrs = np.arange(a.snr0, a.snr1 + 1e-9, a.snr_step)
+    rows = resumable_sweep(sim, snrs, a.n_frames, ckpt_path=a.ckpt,
+                           seed=a.seed)
+    if a.csv:
+        tbs = get_TBS_DL(a.mcs, a.n_rb)
+        G = get_G_dl(a.n_rb, get_Qm(a.mcs), 1)
+        write_bler_csv(a.csv, rows, a.mcs, tbs, tbs / G,
+                       dci_err=getattr(sim, "dci_miss", 0))
         print(f"wrote {a.csv}")
     return rows

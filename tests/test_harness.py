@@ -73,3 +73,25 @@ class TestProfiler:
         assert stats["stage_x"][1] > 0
         profiler.reset_meas("stage_x")
         assert "stage_x" not in profiler.get_meas()
+
+
+def test_dlsim_cli_tm_modes(tmp_path):
+    """-x flag routes to the TM2 (SFBC) and TM3 (SM) simulators and the
+    CSV schema stays reference-compatible."""
+    from openair4g_tpu.sim.harness import dlsim_main
+    csv = str(tmp_path / "tm3.csv")
+    rows = dlsim_main(["-x", "3", "-m", "4", "-B", "6", "-s", "6", "-S",
+                       "6", "-n", "16", "-b", "8", "-t", "4", "-o", csv])
+    assert len(rows) >= 1
+    line = open(csv).read().strip().split(";")
+    assert line[0] == "6" and line[1] == "4"
+
+
+def test_fullsim_cli(tmp_path):
+    from openair4g_tpu.sim.harness import fullsim_main
+    csv = str(tmp_path / "full.csv")
+    rows = fullsim_main(["-m", "0", "-B", "6", "-s", "8", "-S", "8",
+                         "-n", "8", "-b", "8", "-r", "1", "-o", csv])
+    snr, errs, trials, bler = rows[0]
+    assert trials[0] == 8
+    assert open(csv).read().count(";") >= 6
