@@ -97,6 +97,60 @@ def make_wiener_stack(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
     return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _wiener_matrix_joint(n_rb: int, pilot_offs: tuple, n0: float,
+                         normal_cp: bool = True) -> np.ndarray:
+    """[Np_total, n_sc] joint 2D-LMMSE matrix over ALL pilot symbols of the
+    subframe under a quasi-static prior (valid through the 36.101 corpus
+    Dopplers: J0(2*pi*70Hz*0.5ms) = 0.99). Combining the two comb offsets
+    (nu, nu+3) gives an effective 3-subcarrier pilot lattice and ~4x the
+    noise averaging of per-symbol interpolation — the TPU-native estimator
+    is one [B, Np_total] x [Np_total, n_sc] MXU matmul."""
+    fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
+    all_sc = np.concatenate([np.arange(off, fp.n_sc, 6) for off in pilot_offs])
+    d_sc = np.arange(fp.n_sc)
+    L = fp.cp + 2
+    taps = np.arange(L)
+    fp_idx = _signed_freq_idx(fp, all_sc)[:, None]
+    fd_idx = _signed_freq_idx(fp, d_sc)[:, None]
+    Fp = np.exp(-2j * np.pi * fp_idx * taps[None, :] / fp.n_fft)
+    Fd = np.exp(-2j * np.pi * fd_idx * taps[None, :] / fp.n_fft)
+    P = 1.0 / L
+    A = (Fp * P) @ Fp.conj().T + n0 * np.eye(len(all_sc))
+    W = (Fd * P) @ Fp.conj().T @ np.linalg.inv(A)
+    return W.T.astype(np.complex64)
+
+
+def make_wiener_joint(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
+    """[Np_total, n_sc, 2] float32 (re/im packed) joint estimator matrix for
+    estimate_channel(..., mode="joint")."""
+    fp = gm.fp
+    _, pilot_sc, _, _ = _port_pilot_arrays(gm, port)
+    offs = tuple(int(pilot_sc[s, 0] % 6) for s in range(pilot_sc.shape[0]))
+    c = _wiener_matrix_joint(fp.n_rb, offs, float(n0), fp.normal_cp)
+    return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
+
+
+def estimate_channel_joint(rgrid, gm: GridMap, wiener_joint, port: int = 0):
+    """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc]: one static estimate
+    from all pilots of the subframe (quasi-static 2D LMMSE), broadcast over
+    symbols. `wiener_joint` from make_wiener_joint."""
+    fp = gm.fp
+    pilot_sym, _, pilot_bin, pilot_val = _port_pilot_arrays(gm, port)
+    n_ps = pilot_sym.shape[0]
+    W = jnp.asarray(wiener_joint)
+    if not jnp.iscomplexobj(W):
+        W = W[..., 0] + 1j * W[..., 1]
+    ls = []
+    for s in range(n_ps):
+        y = rgrid[:, int(pilot_sym[s, 0])][:, jnp.asarray(pilot_bin[s])]
+        ls.append(y * jnp.asarray(np.conj(pilot_val[s])))
+    ls = jnp.concatenate(ls, axis=1)                       # [B, Np_total]
+    h = jnp.matmul(ls, W, preferred_element_type=jnp.complex64)
+    return jnp.broadcast_to(
+        h[:, None], (h.shape[0], fp.symbols_per_subframe, h.shape[-1]))
+
+
 def estimate_channel(rgrid, gm: GridMap, wiener_stack,
                      time_avg: bool = False, port: int = 0):
     """rgrid [B, nsym, n_fft] -> H_hat [B, nsym, n_sc] for one TX port.

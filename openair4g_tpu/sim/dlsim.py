@@ -26,12 +26,13 @@ from ..config import FrameParms
 from ..phy.pdsch import DlschConfig, DlschCodec
 from ..phy.resource_grid import make_grid_map, fill_grid, extract_data_res
 from ..phy import ofdm
-from ..phy.channel_est import make_wiener_stack, estimate_channel
-from ..phy.equalize import zf_equalize
+from ..phy.channel_est import (make_wiener_stack, estimate_channel,
+                                make_wiener_joint, estimate_channel_joint)
+from ..phy.equalize import mrc_equalize
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
 from ..utils.rng import host_keys
-from .channels import ChannelModel, apply_channel_grid
+from .channels import ChannelModel, apply_channel_grid, harq_forgetting_factor
 
 
 @dataclass(frozen=True)
@@ -124,6 +125,25 @@ class DlsimAwgn:
         return rows
 
 
+def dlsim_snr_offset_db(gm) -> float:
+    """Reference-dlsim SNR convention offset (dB).
+
+    dlsim.c:2852 sets sigma2 from the subframe's *average* TX energy spread
+    over every grid RE: sigma2 = mean_grid_energy_per_RE / SNR. Because the
+    control region is mostly empty (the corpus configs transmit exactly one
+    2-CCE DCI = 72 QPSK REs + PCFICH 16 REs, generate_dci_top dci.c:2084-2096
+    leaves NIL CCEs at zero power) while PDSCH symbols are full, the
+    effective per-data-RE Es/N0 exceeds the nominal SNR by
+        delta = 10*log10(N_grid / N_filled).
+    Our native convention ("per_re") defines SNR directly per data RE; use
+    snr_convention="dlsim" to compare against reference corpus numbers.
+    """
+    n_grid = gm.fp.symbols_per_subframe * gm.fp.n_sc
+    n_rs = 8 * gm.fp.n_rb                    # 4 pilot syms x 2 RS/RB (port 0)
+    n_filled = gm.n_data_re + n_rs + 72 + 16
+    return float(10.0 * np.log10(n_grid / n_filled))
+
+
 @dataclass(frozen=True)
 class DlsimFadingConfig:
     mcs: int = 5
@@ -131,6 +151,18 @@ class DlsimFadingConfig:
     channel: str = "EVA"          # PROFILES key; "AWGN" for flat
     n_harq_rounds: int = 4        # rv = round & 3 (dlsim.c:2175)
     perfect_ce: bool = False      # dlsim -F flag equivalent
+    n_rx: int = 1                 # dlsim -z (reference default 2, MRC)
+    harq_doppler_hz: float = 0.0  # >0: AR(1)-correlated fade across HARQ
+    #   rounds with rho = J0(2*pi*fd*8ms) (Jakes at the HARQ RTT). 0 matches
+    #   the reference dlsim exactly: hold_channel=0, fresh iid channel every
+    #   round (dlsim.c:2156).
+    est_mode: str = "interp"      # "interp" (per-pilot-symbol Wiener +
+    #   time interpolation, the reference's high_speed mode) or "joint"
+    #   (quasi-static 2D LMMSE over all pilot symbols — ~3 dB better
+    #   estimation, physically valid at the corpus 5-70 Hz Dopplers)
+    snr_convention: str = "per_re"  # "per_re" (Es/N0 per data RE) or
+    #   "dlsim" (reference dlsim.c:2852 grid-average convention; see
+    #   dlsim_snr_offset_db) — use "dlsim" when comparing to the corpus.
     n_pdcch_symbols: int = 1
     subframe: int = 7
     rnti: int = 0x1234
@@ -144,7 +176,8 @@ class DlsimFading:
 
     Per trial and HARQ round: fresh iid channel draw (the reference dlsim's
     hold_channel=0 / forgetting_factor=0 default, dlsim.c:2156), rv cycling
-    0,1,2,3, soft combining in the per-block circular buffers.
+    0,1,2,3, soft combining in the per-block circular buffers. n_rx>1 adds
+    per-antenna estimation + MRC (dlsch_detection_mrc, demodulation.c:2583).
     """
 
     def __init__(self, cfg: DlsimFadingConfig):
@@ -156,70 +189,136 @@ class DlsimFading:
         self.fp = FrameParms(n_rb=cfg.n_rb, n_id_cell=cfg.n_id_cell)
         self.gm = make_grid_map(cfg.n_rb, cfg.n_pdcch_symbols,
                                 cfg.n_id_cell, cfg.subframe)
-        self.chan = ChannelModel(name=cfg.channel, fp=self.fp)
+        self.chan = ChannelModel(name=cfg.channel, fp=self.fp,
+                                 n_rx=cfg.n_rx)
+        self.harq_ff = (harq_forgetting_factor(cfg.harq_doppler_hz)
+                        if cfg.harq_doppler_hz > 0 else 0.0)
         G = self.dlsch.cfg.G
         assert self.gm.n_data_re * self.dlsch.cfg.Qm == G
         cinit = pdsch_cinit(cfg.rnti, 0, 2 * cfg.subframe, cfg.n_id_cell)
         self.scr_seq = gold_sequence(cinit, G)
-        self._step = jax.jit(self._trial_step)
+        # Per-HARQ-round jitted programs (rv and first-round flag are
+        # compile-time): one *small* program per round instead of a single
+        # R-times-unrolled graph — the unrolled form takes minutes to
+        # compile on the remote TPU toolchain while each round program
+        # compiles in seconds and runs in ~10 ms.
+        self._tx = jax.jit(self._tx_encode)
+        self._rounds = {}
 
     def wiener(self, snr_db: float):
         n0 = 10.0 ** (-snr_db / 10.0)
+        if self.cfg.est_mode == "joint":
+            return jnp.asarray(make_wiener_joint(self.gm, n0))
         return jnp.asarray(make_wiener_stack(self.gm, n0))
 
-    def _trial_step(self, keys, n0, wiener_stack):
-        """keys [B]; returns (errs [R], reached [R]) HARQ round statistics."""
+    def _tx_encode(self, keys):
+        """keys [B] -> (d_flats pytree, per-round (k_ch, k_noise) arrays)."""
+        R = self.cfg.n_harq_rounds
+        splits = jax.vmap(lambda k: jax.random.split(k, 2 + 2 * R))(keys)
+        tb = jax.vmap(lambda k: jax.random.bernoulli(
+            k, 0.5, (self.dlsch.cfg.tbs,)))(splits[:, 0]).astype(jnp.int32)
+        d_flats = self.dlsch.encode_to_d(tb)
+        k_ch = [splits[:, 2 + 2 * r] for r in range(R)]
+        k_noise = [splits[:, 3 + 2 * r] for r in range(R)]
+        return d_flats, k_ch, k_noise
+
+    def _round_fn(self, rnd: int):
+        """Build one round's jitted program. Signature (first round):
+        (d_flats, k_ch, k_noise, n0, W) -> (ok, w_soft, taps); later rounds
+        additionally take (w_soft, taps_prev) device carries."""
         cfg = self.cfg
         codec = self.dlsch
-        B = keys.shape[0]
+        A = cfg.n_rx
         Qm = codec.cfg.Qm
+        rv = rnd & 3
+        first = rnd == 0
+        evolve = (not first) and self.harq_ff > 0.0
         data_sym = jnp.asarray(self.gm.data_sym)
         data_sc = jnp.asarray(self.gm.data_sc)
 
-        splits = jax.vmap(lambda k: jax.random.split(k, 2 + 2 * cfg.n_harq_rounds))(keys)
-        tb = jax.vmap(lambda k: jax.random.bernoulli(
-            k, 0.5, (codec.cfg.tbs,)))(splits[:, 0]).astype(jnp.int32)
-        d_flats = codec.encode_to_d(tb)
-
-        reached = jnp.ones(B, bool)
-        ok_any = jnp.zeros(B, bool)
-        w_soft = None
-        errs, reach_counts = [], []
-        for rnd in range(cfg.n_harq_rounds):
-            rv = rnd & 3
+        def f(d_flats, k_ch, k_noise, n0, wiener_stack,
+              w_soft=None, taps_prev=None):
+            B = k_ch.shape[0]
             e = codec.select_e(d_flats, rv)
             e = scramble_bits(e, self.scr_seq)
             sym = map_symbols(e, Qm)
             grid = fill_grid(sym.astype(jnp.complex64), self.gm)
-            # fresh fade per round (hold_channel=0)
-            taps = self.chan.draw_taps(splits[:, 2 + 2 * rnd], B)
-            H = self.chan.freq_response(taps)              # [B, n_sc]
-            grid = apply_channel_grid(grid, H, self.fp)
-            t = ofdm.ofdm_modulate(grid, self.fp)
-            nr = jax.vmap(lambda k: jax.random.normal(
-                k, t.shape[1:] + (2,)))(splits[:, 3 + 2 * rnd])
-            rx = t + jnp.sqrt(n0 / 2) * (nr[..., 0] + 1j * nr[..., 1])
-            rgrid = ofdm.ofdm_demodulate(rx, self.fp)
-            if cfg.perfect_ce:
-                H_data = H[:, data_sc]
+            # Channel for this round: fresh fade (the reference's
+            # hold_channel=0, dlsim.c:2156) or AR(1) Jakes evolution at
+            # the HARQ RTT when harq_doppler_hz is set.
+            if evolve:
+                taps = self.chan.evolve_taps(taps_prev, k_ch, ff=self.harq_ff)
             else:
-                H_hat = estimate_channel(rgrid, self.gm, wiener_stack)
-                H_data = H_hat[:, data_sym, data_sc]
-            y = extract_data_res(rgrid, self.gm)
-            x_hat, n0_eff = zf_equalize(y, H_data, n0)
+                taps = self.chan.draw_taps(k_ch, B)
+            taps_rx = taps if A == 1 else taps[:, :, 0, :]  # [B(,A),T]
+            H = self.chan.freq_response(taps_rx)            # [B(,A),n_sc]
+            Hr = H[:, None] if A == 1 else H                # [B,A,n_sc]
+            grid_a = grid if A == 1 else jnp.repeat(grid, A, axis=0)
+            grid_a = apply_channel_grid(grid_a, Hr.reshape(B * A, -1),
+                                        self.fp)
+            t = ofdm.ofdm_modulate(grid_a, self.fp)         # [B*A, S]
+            nr = jax.vmap(lambda k: jax.random.normal(
+                k, (A,) + t.shape[1:] + (2,)))(k_noise)
+            noise = (nr[..., 0] + 1j * nr[..., 1]).reshape(B * A, -1)
+            rx = t + jnp.sqrt(n0 / 2) * noise
+            rgrid = ofdm.ofdm_demodulate(rx, self.fp)       # [B*A,nsym,nfft]
+            if cfg.perfect_ce:
+                H_data = Hr[:, :, data_sc]                  # [B,A,n_data]
+            else:
+                est = (estimate_channel_joint if cfg.est_mode == "joint"
+                       else estimate_channel)
+                H_hat = est(rgrid, self.gm, wiener_stack)
+                H_data = H_hat[:, data_sym, data_sc].reshape(B, A, -1)
+            y = extract_data_res(rgrid, self.gm).reshape(B, A, -1)
+            # MRC across RX antennas (dlsch_detection_mrc :2583); A=1
+            # degenerates to per-RE ZF.
+            x_hat, n0_eff = mrc_equalize(
+                jnp.moveaxis(y, 1, -1), jnp.moveaxis(H_data, 1, -1), n0)
             llr = demap_llr(x_hat, n0_eff, Qm).reshape(B, -1)
             llr = unscramble_llrs(llr, self.scr_seq)
-            _, ok, w_soft = codec.decode(llr, w_soft=w_soft, rv=rv)
-            ok_now = ok_any | ok
-            err_r = reached & ~ok_now
-            errs.append(err_r.sum())
-            reach_counts.append(reached.sum())
+            _, ok, w_soft_out = codec.decode(llr, w_soft=w_soft, rv=rv)
+            return ok, w_soft_out, taps
+
+        if first:
+            return jax.jit(lambda d, kc, kn, n0, W: f(d, kc, kn, n0, W))
+        return jax.jit(
+            lambda d, kc, kn, n0, W, ws, tp: f(d, kc, kn, n0, W,
+                                               w_soft=ws, taps_prev=tp))
+
+    def _round(self, rnd: int):
+        key = (rnd == 0, rnd & 3)   # _round_fn depends on rnd only via these
+        if key not in self._rounds:
+            self._rounds[key] = self._round_fn(rnd)
+        return self._rounds[key]
+
+    def _step(self, keys, n0, W):
+        """One batched trial across all HARQ rounds (host-side round loop
+        over per-round device programs; carries stay on device)."""
+        d_flats, k_ch, k_noise = self._tx(keys)
+        reached = None
+        ok_any = None
+        w_soft = taps = None
+        errs, reach_counts = [], []
+        for rnd in range(self.cfg.n_harq_rounds):
+            fn = self._round(rnd)
+            if rnd == 0:
+                ok, w_soft, taps = fn(d_flats, k_ch[0], k_noise[0], n0, W)
+                ok_any = np.asarray(ok)
+                reached = np.ones_like(ok_any)
+            else:
+                ok, w_soft, taps = fn(d_flats, k_ch[rnd], k_noise[rnd],
+                                      n0, W, w_soft, taps)
+                ok_any = ok_any | np.asarray(ok)
+            err_r = reached & ~ok_any
+            errs.append(int(err_r.sum()))
+            reach_counts.append(int(reached.sum()))
             reached = err_r
-            ok_any = ok_now
-        return jnp.stack(errs), jnp.stack(reach_counts)
+        return np.asarray(errs), np.asarray(reach_counts)
 
     def run_snr(self, snr_db: float, n_frames: int, seed: int = 0):
         """Returns per-round (errs [R], trials [R]) accumulated."""
+        if self.cfg.snr_convention == "dlsim":
+            snr_db = snr_db + dlsim_snr_offset_db(self.gm)
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
         W = self.wiener(snr_db)
         R = self.cfg.n_harq_rounds

@@ -1,0 +1,131 @@
+"""Channel-model catalog (SCM/Rice/correlated) + MRC dlsim + joint LMMSE.
+
+Reference parity checks vs openair1/SIMULATION/TOOLS/random_channel.c
+(model catalog :222-846, Ricean LOS :884-901, R_sqrt :920-928) and
+REFERENCE_DATA/pdsch.txt conditions (1x2 MRC).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openair4g_tpu.config import FrameParms
+from openair4g_tpu.sim.channels import (
+    ChannelModel, PROFILES, jakes_rho, harq_forgetting_factor)
+from openair4g_tpu.sim.dlsim import (
+    DlsimFading, DlsimFadingConfig, dlsim_snr_offset_db)
+from openair4g_tpu.phy.channel_est import (
+    make_wiener_stack, make_wiener_joint,
+    estimate_channel, estimate_channel_joint)
+from openair4g_tpu.phy.resource_grid import make_grid_map, fill_grid
+from openair4g_tpu.sim.channels import apply_channel_grid
+
+
+FP6 = FrameParms(n_rb=6)
+
+
+def test_all_profiles_power_normalized():
+    for name in PROFILES:
+        if name == "AWGN":
+            continue
+        cm = ChannelModel(name=name, fp=FP6)
+        taps = cm.draw_taps(jax.random.PRNGKey(0), 4000)
+        p = float(jnp.mean(jnp.sum(jnp.abs(taps) ** 2, axis=-1)))
+        assert abs(p - 1.0) < 0.06, (name, p)
+
+
+def test_mimo_power_and_shape():
+    # SCM_D: the LOS plane wave passes through R_sqrt (reference order,
+    # random_channel.c:884-928), which shrinks the constant LOS direction —
+    # E|h|^2 = 0.6, faithfully reproducing the reference's "not the real
+    # SCM-D" model (its own warning, random_channel.c:295).
+    for name, ntx, nrx, pow_lo, pow_hi in [
+            ("SCM_C", 2, 2, 0.92, 1.08), ("SCM_D", 2, 2, 0.5, 0.7),
+            ("EVA", 1, 2, 0.92, 1.08), ("Rayleigh1_corr", 2, 2, 0.92, 1.08),
+            ("Rayleigh1_anticorr", 2, 1, 0.92, 1.08)]:
+        cm = ChannelModel(name=name, fp=FP6, n_tx=ntx, n_rx=nrx)
+        taps = cm.draw_taps(jax.random.PRNGKey(1), 2000)
+        assert taps.shape == (2000, nrx, ntx, cm.n_taps)
+        p = float(jnp.mean(jnp.sum(jnp.abs(taps) ** 2, axis=-1)))
+        assert pow_lo < p < pow_hi, (name, p)
+
+
+def test_corr_anticorr_tx_correlation_sign():
+    """Rayleigh1_corr: h from the two TX antennas fully correlated
+    (R_sqrt_22_corr random_channel.c:169); anticorr: anti-correlated."""
+    for name, sign in [("Rayleigh1_corr", 1.0), ("Rayleigh1_anticorr", -1.0)]:
+        cm = ChannelModel(name=name, fp=FP6, n_tx=2, n_rx=2)
+        t = cm.draw_taps(jax.random.PRNGKey(2), 4096)[:, :, :, 0]
+        num = jnp.mean(t[:, 0, 0] * jnp.conj(t[:, 0, 1]))
+        den = jnp.mean(jnp.abs(t[:, 0, 0]) ** 2)
+        rho = complex(num / den)
+        assert abs(rho.real - sign) < 0.1, (name, rho)
+
+
+def test_ricean_los_dominates():
+    """Rice1 (K_s=0.1): 90% LOS power -> per-draw |h| concentrated near 1."""
+    cm = ChannelModel(name="Rice1", fp=FP6)
+    t = cm.draw_taps(jax.random.PRNGKey(3), 4096)[:, 0]
+    mags = np.abs(np.asarray(t))
+    assert np.mean((mags > 0.6) & (mags < 1.4)) > 0.85
+
+
+def test_jakes_helpers():
+    assert abs(jakes_rho(0.0, 8e-3) - 1.0) < 1e-6
+    assert 0.96 < harq_forgetting_factor(5.0) < 0.98       # EVA5 @ 8ms
+    assert harq_forgetting_factor(70.0) == 0.0             # past J0 null
+
+
+def test_evolve_taps_correlation():
+    cm = ChannelModel(name="EVA", fp=FP6)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    a0 = cm.draw_taps(k1, 4096)
+    a1 = cm.evolve_taps(a0, k2, ff=0.81)   # corr sqrt(ff) = 0.9
+    num = jnp.mean(jnp.sum(a1 * jnp.conj(a0), -1))
+    den = jnp.mean(jnp.sum(jnp.abs(a0) ** 2, -1))
+    assert abs(float((num / den).real) - 0.9) < 0.05
+
+
+def test_dlsim_snr_offset_matches_hand_count():
+    gm = make_grid_map(6, 3)
+    # 6 PRB c3: grid 14*72=1008, data + 48 RS + 88 control
+    want = 10 * np.log10(1008 / (gm.n_data_re + 48 + 88))
+    assert abs(dlsim_snr_offset_db(gm) - want) < 1e-9
+
+
+def test_mrc_two_rx_gain():
+    """1x2 MRC with perfect CE: ~3 dB array gain over the validated 1x1
+    MCS4 anchor (0 errors at -2.3+3 dB where 1x1 needs -2.3)."""
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=4, n_rb=25, channel="AWGN", batch=128, n_harq_rounds=1,
+        n_rx=2, perfect_ce=True))
+    errs, reach = sim.run_snr(-2.3, 128)
+    assert errs[0] == 0, (errs, reach)
+
+
+def test_joint_estimator_beats_interp():
+    fp = FrameParms(n_rb=6)
+    cm = ChannelModel(name="EVA", fp=fp)
+    gm = make_grid_map(6, 3)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    B = 128
+    taps = cm.draw_taps(k1, B)
+    H = cm.freq_response(taps)
+    grid = fill_grid(jnp.zeros((B, gm.n_data_re), jnp.complex64), gm)
+    faded = apply_channel_grid(grid, H, fp)
+    n0 = 1.3
+    rx = faded + jnp.sqrt(n0 / 2) * (
+        jax.random.normal(k2, faded.shape)
+        + 1j * jax.random.normal(k3, faded.shape))
+    Hi = estimate_channel(rx, gm, jnp.asarray(make_wiener_stack(gm, n0)))
+    Hj = estimate_channel_joint(rx, gm, jnp.asarray(make_wiener_joint(gm, n0)))
+    mse_i = float(jnp.mean(jnp.abs(Hi[:, 5] - H) ** 2))
+    mse_j = float(jnp.mean(jnp.abs(Hj[:, 5] - H) ** 2))
+    assert mse_j < 0.7 * mse_i, (mse_i, mse_j)
+
+
+def test_harq_doppler_correlated_path_runs():
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=4, n_rb=6, channel="EVA", n_pdcch_symbols=3, batch=64,
+        n_harq_rounds=2, n_rx=2, harq_doppler_hz=5.0, est_mode="joint"))
+    errs, reach = sim.run_snr(-2.0, 64)
+    assert reach[0] == 64 and errs[0] >= errs[1]
