@@ -211,3 +211,170 @@ def unpack_dci_format2(bits: np.ndarray, n_rb_dl: int,
         rank, pmi = (2 if two_cw else 1), pinfo
     out.update(precoding_info=pinfo, rank=rank, pmi=pmi)
     return out
+
+
+# ------------------------------------------------------------- format 1C --
+# Compact DL assignment for SI-RNTI / RA-RNTI / P-RNTI control traffic
+# (36.212 Table 5.3.3.1.4-1; 36.213 §7.1.6.3 distributed-VRB step RIV).
+# Reference parity: dci.h DCI1C_{1_5,5,10,20}MHz_t (8/12/13/15 bits,
+# dci.h:833-896), size selection dci.c:2805-2925, RIV conversion
+# conv_1C_RIV (dci_tools.c:412-453).
+
+_F1C = {   # N_RB_DL -> (NpDLVRB, N_RB_step, rballoc bits, has Ngap bit)
+    6: (3, 2, 3, False),
+    25: (12, 2, 7, False),
+    50: (11, 4, 7, True),
+    100: (24, 4, 9, True),
+}
+
+
+def dci_format1c_size(n_rb_dl: int) -> int:
+    np_vrb, step, nbits, has_gap = _F1C[n_rb_dl]
+    return 5 + nbits + (1 if has_gap else 0)
+
+
+def pack_dci_format1c(n_rb_dl: int, rb_start: int, n_prb: int,
+                      mcs: int, ngap: int = 0) -> np.ndarray:
+    """rb_start/n_prb in PRBs; both must be multiples of N_RB_step."""
+    np_vrb, step, nbits, has_gap = _F1C[n_rb_dl]
+    assert rb_start % step == 0 and n_prb % step == 0 and n_prb > 0
+    rbp, lp = rb_start // step, n_prb // step       # step-granular units
+    if (lp - 1) <= np_vrb // 2:
+        riv = np_vrb * (lp - 1) + rbp
+    else:
+        riv = np_vrb * (np_vrb - lp + 1) + (np_vrb - 1 - rbp)
+    fields = [(mcs, 5), (riv, nbits)]
+    if has_gap:
+        fields.append((ngap, 1))
+    return _pack(fields)
+
+
+def unpack_dci_format1c(bits: np.ndarray, n_rb_dl: int) -> dict:
+    """Mirrors conv_1C_RIV (dci_tools.c:412): step-granular RIV -> PRB
+    start/length (localized interpretation, as the reference applies it)."""
+    np_vrb, step, nbits, has_gap = _F1C[n_rb_dl]
+    r = _Reader(bits)
+    mcs = r.take(5)
+    riv = r.take(nbits)
+    ngap = r.take(1) if has_gap else 0
+    lp = riv // np_vrb
+    if lp <= np_vrb // 2:
+        rbp = riv % np_vrb
+    else:
+        lp = np_vrb - lp
+        rbp = np_vrb - (riv % np_vrb)
+    return dict(mcs=mcs, rb_start=step * rbp, n_prb=step * (lp + 1),
+                ngap=ngap)
+
+
+# --------------------------------------------------------- formats 1B/1D --
+# Rank-1 closed-loop precoding grants (1B: TM6; 1D: TM5 MU-MIMO with the
+# dl_power_off flag). 36.212 §5.3.3.1.3/.3A. Reference parity: dci.h
+# DCI1B_5MHz_2A_FDD_t :727-751 / DCI1D_5MHz_2A_FDD_t :901-925 — RIV (type-2)
+# allocation + TPMI/PMI-confirm; 1B pads 1 bit to break the 1A ambiguity.
+
+def _tpmi_bits(n_tx: int) -> int:
+    return 2 if n_tx == 2 else 4
+
+
+def dci_format1b_size(n_rb_dl: int, n_tx: int = 2) -> int:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    base = 1 + nriv + 5 + 3 + 1 + 2 + 2 + _tpmi_bits(n_tx) + 1
+    # 2-port variant pads 1 bit to break size ambiguity (dci.h:746: 26->27);
+    # the 4-port variant is already unambiguous at 28 (dci.h:803).
+    return base + (1 if n_tx == 2 else 0)
+
+
+def pack_dci_format1b(n_rb_dl: int, rb_start: int, n_prb: int, mcs: int,
+                      harq_pid: int, ndi: int, rv: int, tpmi: int,
+                      pmi_confirm: int, tpc: int = 0, vrb_type: int = 0,
+                      n_tx: int = 2) -> np.ndarray:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    fields = [(vrb_type, 1), (_riv(n_rb_dl, rb_start, n_prb), nriv),
+              (mcs, 5), (harq_pid, 3), (ndi, 1), (rv, 2), (tpc, 2),
+              (tpmi, _tpmi_bits(n_tx)), (pmi_confirm, 1)]
+    if n_tx == 2:
+        fields.append((0, 1))
+    return _pack(fields)
+
+
+def unpack_dci_format1b(bits: np.ndarray, n_rb_dl: int,
+                        n_tx: int = 2) -> dict:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    r = _Reader(bits)
+    vrb_type = r.take(1)
+    rb_start, n_prb = _unriv(r.take(nriv), n_rb_dl)
+    return dict(vrb_type=vrb_type, rb_start=rb_start, n_prb=n_prb,
+                mcs=r.take(5), harq_pid=r.take(3), ndi=r.take(1),
+                rv=r.take(2), tpc=r.take(2), tpmi=r.take(_tpmi_bits(n_tx)),
+                pmi_confirm=r.take(1))
+
+
+def dci_format1d_size(n_rb_dl: int, n_tx: int = 2) -> int:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    return 1 + nriv + 5 + 3 + 1 + 2 + 2 + _tpmi_bits(n_tx) + 1
+
+
+def pack_dci_format1d(n_rb_dl: int, rb_start: int, n_prb: int, mcs: int,
+                      harq_pid: int, ndi: int, rv: int, tpmi: int,
+                      dl_power_off: int, tpc: int = 0, vrb_type: int = 0,
+                      n_tx: int = 2) -> np.ndarray:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    fields = [(vrb_type, 1), (_riv(n_rb_dl, rb_start, n_prb), nriv),
+              (mcs, 5), (harq_pid, 3), (ndi, 1), (rv, 2), (tpc, 2),
+              (tpmi, _tpmi_bits(n_tx)), (dl_power_off, 1)]
+    return _pack(fields)
+
+
+def unpack_dci_format1d(bits: np.ndarray, n_rb_dl: int,
+                        n_tx: int = 2) -> dict:
+    nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
+    r = _Reader(bits)
+    vrb_type = r.take(1)
+    rb_start, n_prb = _unriv(r.take(nriv), n_rb_dl)
+    return dict(vrb_type=vrb_type, rb_start=rb_start, n_prb=n_prb,
+                mcs=r.take(5), harq_pid=r.take(3), ndi=r.take(1),
+                rv=r.take(2), tpc=r.take(2), tpmi=r.take(_tpmi_bits(n_tx)),
+                dl_power_off=r.take(1))
+
+
+# --------------------------------------------------------- formats 3/3A --
+# Group TPC commands for PUCCH/PUSCH power control (36.212 §5.3.3.1.6/7),
+# CRC-masked with TPC-PUCCH-RNTI / TPC-PUSCH-RNTI and sized EXACTLY to
+# format 0/1A so the common-search blind decode reuses one size hypothesis.
+# Reference parity: dci.h sizeof_DCI3_5MHz_FDD_t 25 (= format-0 size @25RB),
+# dci.c format3/3A handling.
+
+def dci_format3_n_cmds(n_rb: int) -> int:
+    return dci_format0_size(n_rb) // 2
+
+
+def dci_format3a_n_cmds(n_rb: int) -> int:
+    return dci_format0_size(n_rb)
+
+
+def pack_dci_format3(n_rb: int, tpc_cmds) -> np.ndarray:
+    """tpc_cmds: per-UE 2-bit commands (index = tpc-Index from RRC)."""
+    n = dci_format3_n_cmds(n_rb)
+    cmds = list(tpc_cmds) + [0] * (n - len(tpc_cmds))
+    bits = _pack([(c, 2) for c in cmds[:n]])
+    pad = dci_format0_size(n_rb) - len(bits)
+    return np.concatenate([bits, np.zeros(pad, np.int8)]) if pad else bits
+
+
+def unpack_dci_format3(bits: np.ndarray, n_rb: int) -> dict:
+    r = _Reader(bits)
+    return dict(tpc_cmds=tuple(r.take(2)
+                               for _ in range(dci_format3_n_cmds(n_rb))))
+
+
+def pack_dci_format3a(n_rb: int, tpc_cmds) -> np.ndarray:
+    n = dci_format3a_n_cmds(n_rb)
+    cmds = list(tpc_cmds) + [0] * (n - len(tpc_cmds))
+    return _pack([(c, 1) for c in cmds[:n]])
+
+
+def unpack_dci_format3a(bits: np.ndarray, n_rb: int) -> dict:
+    r = _Reader(bits)
+    return dict(tpc_cmds=tuple(r.take(1)
+                               for _ in range(dci_format3a_n_cmds(n_rb))))

@@ -135,14 +135,53 @@ class DciCandidate:
 
 
 def search_space_candidates(n_cce: int) -> list:
-    """Common (L=4: 4 cands over CCE 0..15; L=8: 2 cands) + a UE-specific
-    sweep at L in {1,2} over all offsets (simplified Yk hashing: exhaustive,
-    a superset of the reference's 6 candidates/L — same detection behavior,
-    more hypotheses; dci_decoding_procedure0 :2547)."""
+    """Exhaustive sweep over every aggregation/offset (a superset of any
+    hash-limited search space — maximal detection, more false-alarm
+    hypotheses). Kept for sims that don't model a UE identity; the
+    spec-exact spaces are ue_search_candidates/common_search_candidates."""
     cands = []
     for L in (1, 2, 4, 8):
         for off in range(0, n_cce - L + 1, L):
             cands.append(DciCandidate(L=L, cce_offset=off))
+    return cands
+
+
+def yk_hash(rnti: int, subframe: int) -> int:
+    """36.213 §9.1.1 UE-specific search-space hash Y_k: Y_-1 = n_RNTI,
+    Y_k = (39827 * Y_{k-1}) mod 65537, iterated k = 0..subframe (the
+    reference's loop at dci.c:2592-2594)."""
+    y = rnti
+    for _ in range(subframe + 1):
+        y = (y * 39827) % 65537
+    return y
+
+
+def ue_search_candidates(n_cce: int, rnti: int, subframe: int) -> list:
+    """UE-specific search space, 36.213 Table 9.1.1-1: M(L) = 6/6/2/2
+    candidates at L = 1/2/4/8, offsets L*((Yk + m) mod floor(nCCE/L))."""
+    cands, seen = [], set()
+    for L, M in ((1, 6), (2, 6), (4, 2), (8, 2)):
+        if n_cce < L:
+            continue
+        m_max = min(M, n_cce // L)
+        yk = yk_hash(rnti, subframe) % (n_cce // L)
+        for m in range(m_max):
+            off = L * ((yk + m) % (n_cce // L))
+            if (L, off) not in seen:
+                seen.add((L, off))
+                cands.append(DciCandidate(L=L, cce_offset=off))
+    return cands
+
+
+def common_search_candidates(n_cce: int) -> list:
+    """Common search space (SI-RNTI/RA-RNTI/P-RNTI/TPC): L=4 x 4 and
+    L=8 x 2 candidates at fixed offsets from CCE 0 (dci.c:2585-2587)."""
+    cands = []
+    for L, M in ((4, 4), (8, 2)):
+        for m in range(M):
+            off = L * m
+            if off + L <= n_cce:
+                cands.append(DciCandidate(L=L, cce_offset=off))
     return cands
 
 

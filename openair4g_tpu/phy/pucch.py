@@ -164,3 +164,66 @@ def pucch2_equalize(rx_data, rx_rs, nid_cell: int, ns: int, n_cs1: int):
     h = jnp.sum(rx_rs * jnp.asarray(np.conj(rs_ref)), axis=(-1, -2))  # [B]
     z = jnp.sum(rx_data * jnp.asarray(np.conj(seqs)), axis=-1)        # [B, 5]
     return z * jnp.conj(h)[:, None], jnp.abs(h) ** 2
+
+
+# ----------------------------------------------------------- formats 2a/2b
+# Mixed CQI + ACK (36.211 §5.4.2 Table 5.4.2-1): the 1-2 HARQ-ACK bits
+# modulate the SECOND RS symbol of each slot (normal CP: symbol 5) as
+# BPSK (2a) / QPSK (2b) while the 20 CQI bits ride the 5 data symbols
+# exactly as format 2. The reference stubs these out ("not implemented",
+# pucch.c:330-334); this is the full TX+RX per spec — capability beyond
+# the reference, same API family as pucch2_*.
+
+def pucch2x_ack_symbol(ack_bits) -> complex:
+    """36.211 Table 5.4.2-1: 1 bit -> BPSK {0:+1, 1:-1};
+    2 bits -> QPSK {00:+1, 01:-j, 10:+j, 11:-1}."""
+    b = tuple(int(x) for x in np.atleast_1d(ack_bits))
+    if len(b) == 1:
+        return 1.0 + 0j if b[0] == 0 else -1.0 + 0j
+    return {(0, 0): 1 + 0j, (0, 1): -1j, (1, 0): 1j, (1, 1): -1 + 0j}[b]
+
+
+def pucch2x_slot_symbols(nid_cell: int, ns: int, n_cs1: int,
+                         d5: np.ndarray, d_ack: complex) -> tuple:
+    """Format 2a/2b slot: like format 2 but the second RS symbol carries
+    d_ack. Returns (data [5,12], rs [2,12])."""
+    data, rs = pucch2_slot_symbols(nid_cell, ns, n_cs1, d5)
+    rs = rs.copy()
+    rs[1] = rs[1] * np.complex64(d_ack)
+    return data, rs
+
+
+def pucch2x_detect(rx_data, rx_rs, nid_cell: int, ns: int, n_cs1: int,
+                   n_ack: int):
+    """Joint CQI + ACK RX for one slot.
+
+    rx_data [B, 5, 12], rx_rs [B, 2, 12]. Channel is estimated from the
+    FIRST RS symbol (ACK-free); the ACK symbol is detected coherently
+    against it; the CQI symbols are equalized with both RS symbols after
+    wiping the detected ACK modulation (max-ratio, matching rx_pucch's
+    coherent structure). Returns (z5 [B,5] equalized CQI symbols,
+    h2 [B] channel power, ack_bits [B, n_ack])."""
+    _, rs_ref = pucch2_slot_symbols(nid_cell, ns, n_cs1, np.ones(5))
+    seqs = np.stack([_alpha_seq(nid_cell, ns, l, n_cs1)
+                     for l in DATA_SYMS_F2])
+    h1 = jnp.sum(rx_rs[:, 0] * jnp.asarray(np.conj(rs_ref[0])), axis=-1)
+    z_ack = jnp.sum(rx_rs[:, 1] * jnp.asarray(np.conj(rs_ref[1])), axis=-1)
+    rho = z_ack * jnp.conj(h1)                       # ~ |h|^2 * d_ack
+    if n_ack == 1:
+        ack = (rho.real < 0).astype(jnp.int32)[:, None]
+        d_hat = 1.0 - 2.0 * ack[:, 0]
+    else:
+        # ML slicing on {1, -j, +j, -1}: the nearest constellation point is
+        # decided by which of |Re|,|Im| dominates and its sign
+        ack0 = ((rho.imag > 0) & (jnp.abs(rho.imag) > jnp.abs(rho.real))) | \
+               ((rho.real < 0) & (jnp.abs(rho.real) > jnp.abs(rho.imag)))
+        ack1 = ((rho.imag < 0) & (jnp.abs(rho.imag) > jnp.abs(rho.real))) | \
+               ((rho.real < 0) & (jnp.abs(rho.real) > jnp.abs(rho.imag)))
+        ack = jnp.stack([ack0, ack1], axis=-1).astype(jnp.int32)
+        pts = jnp.asarray([1 + 0j, -1j, 1j, -1 + 0j], jnp.complex64)
+        d_hat = pts[ack[:, 0] * 2 + ack[:, 1]]
+    # wipe ACK modulation off the second RS and MRC both RS symbols
+    h2s = z_ack * jnp.conj(d_hat)
+    h = 0.5 * (h1 + h2s)
+    z = jnp.sum(rx_data * jnp.asarray(np.conj(seqs)), axis=-1)  # [B,5]
+    return z * jnp.conj(h)[:, None], jnp.abs(h) ** 2, ack

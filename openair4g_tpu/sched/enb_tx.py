@@ -88,15 +88,26 @@ class EnbTx:
         lets sims carry UL grants (format 0) or MIMO grants through the
         same control region."""
         cfg = self.cfg
-        n_cce = self.crm.n_cce
         self.dci_payload = np.asarray(payload, np.int8)
-        e = dci_encode(self.dci_payload, cfg.rnti, cfg.dci_L)
+        self.set_dcis([(self.dci_payload, cfg.rnti, cfg.dci_L,
+                        cfg.dci_cce_offset)])
+
+    def set_dcis(self, dcis) -> None:
+        """Encode multiple DCIs into the control region; `dcis` is a list of
+        (payload_bits, rnti, L, cce_offset). Mirrors generate_dci_top
+        (dci.c:2084-2096: per-DCI CC encode + CRC16 masked by RNTI, NIL
+        CCEs at zero power)."""
+        n_cce = self.crm.n_cce
         full = np.zeros(n_cce * BITS_PER_CCE, np.int8)
-        s = cfg.dci_cce_offset * BITS_PER_CCE
-        full[s:s + len(e)] = e ^ self.pdcch_scr[s:s + len(e)]
-        syms = ((1 - 2 * full[0::2]) + 1j * (1 - 2 * full[1::2])) / np.sqrt(2)
         used = np.zeros(n_cce * BITS_PER_CCE // 2, bool)
-        used[s // 2:(s + len(e)) // 2] = True
+        for payload, rnti, L, cce_offset in dcis:
+            assert cce_offset + L <= n_cce, (cce_offset, L, n_cce)
+            e = dci_encode(np.asarray(payload, np.int8), rnti, L)
+            s = cce_offset * BITS_PER_CCE
+            assert not used[s // 2:(s + len(e)) // 2].any(), "CCE overlap"
+            full[s:s + len(e)] = e ^ self.pdcch_scr[s:s + len(e)]
+            used[s // 2:(s + len(e)) // 2] = True
+        syms = ((1 - 2 * full[0::2]) + 1j * (1 - 2 * full[1::2])) / np.sqrt(2)
         self.pdcch_syms = np.where(used, syms, 0).astype(np.complex64)
 
     def _init_phich(self, ns: int) -> None:

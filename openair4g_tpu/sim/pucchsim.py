@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ..utils.rng import host_keys
 from ..phy.pucch import (pucch1_slot_symbols, pucch1_detect,
                          pucch2_slot_symbols, pucch2_equalize,
-                         rm20_encode, rm20_decode)
+                         pucch2x_slot_symbols, pucch2x_detect,
+                         pucch2x_ack_symbol, rm20_encode, rm20_decode)
 from ..ops.llr import demap_llr
 
 
@@ -30,7 +31,7 @@ class PucchsimConfig:
     n_cs1: int = 3            # cyclic-shift resource
     n_oc: int = 1             # orthogonal cover resource (format 1)
     batch: int = 256
-    fmt: str = "1a"           # "1a" or "2"
+    fmt: str = "1a"           # "1a", "2", "2a" (CQI+1 ACK) or "2b" (+2)
     cqi_bits: int = 4         # format 2 payload size A
 
 
@@ -52,13 +53,21 @@ class Pucchsim:
             rng = np.random.default_rng(7)
             self.cqi_payload = rng.integers(
                 0, 2, size=cfg.cqi_bits).astype(np.int8)
+            self.n_ack = {"2": 0, "2a": 1, "2b": 2}[cfg.fmt]
+            self.ack_payload = rng.integers(
+                0, 2, size=max(self.n_ack, 1)).astype(np.int8)
             b20 = rm20_encode(self.cqi_payload)
             d10 = ((1 - 2 * b20[0::2].astype(np.float64))
                    + 1j * (1 - 2 * b20[1::2].astype(np.float64))) / np.sqrt(2)
             d_ref, r_ref = [], []
             for i, s in enumerate((ns, ns + 1)):
-                d, r = pucch2_slot_symbols(cfg.n_id_cell, s, cfg.n_cs1,
-                                           d10[5 * i:5 * i + 5])
+                if self.n_ack:
+                    d, r = pucch2x_slot_symbols(
+                        cfg.n_id_cell, s, cfg.n_cs1, d10[5 * i:5 * i + 5],
+                        pucch2x_ack_symbol(self.ack_payload[:self.n_ack]))
+                else:
+                    d, r = pucch2_slot_symbols(cfg.n_id_cell, s, cfg.n_cs1,
+                                               d10[5 * i:5 * i + 5])
                 d_ref.append(d)
                 r_ref.append(r)
             self.tx_data = np.stack(d_ref)      # [2, 5, 12]
@@ -99,16 +108,31 @@ class Pucchsim:
             rx_d = jax.vmap(add_noise)(keys, tx_d)
             kk = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
             rx_r = jax.vmap(add_noise)(kk, tx_r)
-            zs = []
+            zs, acks = [], []
             for sl, s in enumerate((ns, ns + 1)):
-                z, h2 = pucch2_equalize(rx_d[:, sl], rx_r[:, sl],
-                                        cfg.n_id_cell, s, cfg.n_cs1)
+                if self.n_ack:
+                    z, h2, ack = pucch2x_detect(
+                        rx_d[:, sl], rx_r[:, sl],
+                        cfg.n_id_cell, s, cfg.n_cs1, self.n_ack)
+                    acks.append(ack)
+                else:
+                    z, h2 = pucch2_equalize(rx_d[:, sl], rx_r[:, sl],
+                                            cfg.n_id_cell, s, cfg.n_cs1)
                 zs.append(z / jnp.maximum(h2, 1e-12)[:, None])
             d_hat = jnp.concatenate(zs, axis=-1)            # [B, 10]
             llr2 = demap_llr(d_hat, n0, 2)                  # [B, 10, 2]
             bits = rm20_decode(llr2.reshape(B, 20), cfg.cqi_bits)
             true = jnp.asarray(self.cqi_payload.astype(np.int32))
-            return jnp.all(bits == true, axis=-1)
+            cqi_ok = jnp.all(bits == true, axis=-1)
+            if not self.n_ack:
+                return cqi_ok
+            # ACK decided per slot; majority/first-slot rule (both slots
+            # carry the same d_ack)
+            ack_true = jnp.asarray(self.ack_payload[:self.n_ack]
+                                   .astype(np.int32))
+            ack_ok = jnp.all(acks[0] == ack_true, axis=-1) \
+                & jnp.all(acks[1] == ack_true, axis=-1)
+            return cqi_ok & ack_ok
 
     def run_snr(self, snr_db: float, n_batches: int = 2, seed: int = 0):
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
@@ -124,7 +148,8 @@ class Pucchsim:
 def main():
     import argparse
     p = argparse.ArgumentParser(description="PUCCH error-rate sweep")
-    p.add_argument("-f", "--fmt", default="1a", choices=("1a", "2"))
+    p.add_argument("-f", "--fmt", default="1a",
+                   choices=("1a", "2", "2a", "2b"))
     p.add_argument("-s", "--snr0", type=float, default=-16.0)
     p.add_argument("-S", "--snr1", type=float, default=-4.0)
     p.add_argument("--step", type=float, default=2.0)

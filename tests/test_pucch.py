@@ -78,3 +78,12 @@ class TestPucchsim:
         sim = Pucchsim(PucchsimConfig(fmt="2", batch=128))
         r = sim.run_snr(-2.0, n_batches=1)
         assert r["err_rate"] <= 0.05
+
+
+def test_pucchsim_formats_2a_2b():
+    import os
+    from openair4g_tpu.sim.pucchsim import Pucchsim, PucchsimConfig
+    for fmt in ("2a", "2b"):
+        sim = Pucchsim(PucchsimConfig(fmt=fmt, batch=128))
+        r = sim.run_snr(0.0, n_batches=1)
+        assert r["err_rate"] < 0.05, (fmt, r)
