@@ -1,0 +1,129 @@
+"""eNB application glue: RRC <-> S1AP <-> GTP-U (the reference's enb_app
++ s1ap_eNB tasks).
+
+Reference parity: openair-cn usage from the eNB side —
+s1ap_eNB_nas_procedures.c (wrap first NAS into InitialUEMessage, forward
+DL NAS to RRC DLInformationTransfer, UL NAS to UplinkNASTransport) and
+GTPV1-U on the eNB (per-bearer DL TEID allocation, PDCP <-> S1-U
+forwarding the reference does in openair2 gtpv1u hooks).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .s1ap import (S1SetupRequest, InitialUeMessage, DownlinkNasTransport,
+                   UplinkNasTransport, InitialContextSetupRequest,
+                   InitialContextSetupResponse, UeContextReleaseCommand,
+                   UeContextReleaseComplete, decode_s1ap)
+from .gtpu import gtpu_encap, gtpu_decap, GTPU_GPDU
+
+
+@dataclass
+class EnbUeS1Context:
+    enb_ue_id: int
+    crnti: int
+    mme_ue_id: int = 0
+    erab_id: int = 0
+    sgw_teid_ul: int = 0      # uplink tunnel (allocated by SGW)
+    enb_teid_dl: int = 0      # downlink tunnel (we allocate)
+    pending_nas: list = field(default_factory=list)   # NAS for the UE
+
+
+class EnbApp:
+    """One eNB's S1 interface. `mme` is the Mme object (in-process SCTP);
+    `sgw` the SgwPgw (in-process S1-U)."""
+
+    def __init__(self, mme, sgw, enb_id: int = 0x19B, addr: int = 0x0A000002):
+        self.mme = mme
+        self.sgw = sgw
+        self.enb_id = enb_id
+        self.addr = addr
+        self.by_crnti: dict[int, EnbUeS1Context] = {}
+        self.by_enb_ue_id: dict[int, EnbUeS1Context] = {}
+        self.by_teid: dict[int, EnbUeS1Context] = {}
+        self._next_ue_id = 1
+        self._next_teid = 0x2000
+        self.s1_up = False
+        self._s1_setup()
+
+    def _s1_setup(self):
+        for pdu in self.mme.handle_s1ap(
+                S1SetupRequest(enb_id=self.enb_id).pack()):
+            decode_s1ap(pdu)            # S1SetupResponse
+        self.s1_up = True
+
+    # ------------------------------------------------------ NAS transport --
+    def initial_ue_message(self, crnti: int, nas_pdu: bytes) -> None:
+        """First NAS from a newly RRC-connected UE (rides
+        RRCConnectionSetupComplete's dedicatedInfoNAS in the reference)."""
+        ctx = EnbUeS1Context(enb_ue_id=self._next_ue_id, crnti=crnti)
+        self._next_ue_id += 1
+        self.by_crnti[crnti] = ctx
+        self.by_enb_ue_id[ctx.enb_ue_id] = ctx
+        self._dispatch(self.mme.handle_s1ap(
+            InitialUeMessage(enb_ue_id=ctx.enb_ue_id,
+                             nas_pdu=nas_pdu).pack()))
+
+    def uplink_nas(self, crnti: int, nas_pdu: bytes) -> None:
+        ctx = self.by_crnti[crnti]
+        self._dispatch(self.mme.handle_s1ap(
+            UplinkNasTransport(mme_ue_id=ctx.mme_ue_id,
+                               enb_ue_id=ctx.enb_ue_id,
+                               nas_pdu=nas_pdu).pack()))
+
+    def poll_nas(self, crnti: int) -> list:
+        """Drain NAS PDUs queued for a UE (RRC DLInformationTransfer /
+        the AttachAccept inside RRCConnectionReconfiguration)."""
+        out = self.by_crnti[crnti].pending_nas
+        self.by_crnti[crnti].pending_nas = []
+        return out
+
+    def _dispatch(self, pdus: list) -> None:
+        for pdu in pdus:
+            msg = decode_s1ap(pdu)
+            if isinstance(msg, DownlinkNasTransport):
+                ctx = self.by_enb_ue_id[msg.enb_ue_id]
+                ctx.mme_ue_id = msg.mme_ue_id
+                ctx.pending_nas.append(msg.nas_pdu)
+            elif isinstance(msg, InitialContextSetupRequest):
+                ctx = self.by_enb_ue_id[msg.enb_ue_id]
+                ctx.mme_ue_id = msg.mme_ue_id
+                ctx.erab_id = msg.erab_id
+                ctx.sgw_teid_ul = msg.sgw_teid_ul
+                ctx.enb_teid_dl = self._next_teid
+                self._next_teid += 1
+                self.by_teid[ctx.enb_teid_dl] = ctx
+                ctx.pending_nas.append(msg.nas_pdu)
+                self._dispatch(self.mme.handle_s1ap(
+                    InitialContextSetupResponse(
+                        mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+                        erab_id=ctx.erab_id, enb_teid_dl=ctx.enb_teid_dl,
+                        enb_addr=self.addr).pack()))
+            elif isinstance(msg, UeContextReleaseCommand):
+                ctx = self.by_enb_ue_id.pop(msg.enb_ue_id)
+                self.by_crnti.pop(ctx.crnti, None)
+                self.by_teid.pop(ctx.enb_teid_dl, None)
+                self._dispatch(self.mme.handle_s1ap(
+                    UeContextReleaseComplete(
+                        mme_ue_id=msg.mme_ue_id,
+                        enb_ue_id=msg.enb_ue_id).pack()))
+            else:
+                raise ValueError(f"unhandled S1AP at eNB: {msg}")
+
+    # -------------------------------------------------------- user plane --
+    def uplink_user(self, crnti: int, ip_pkt: bytes) -> None:
+        """PDCP SDU from the UE's DRB -> GTP-U toward the SGW."""
+        ctx = self.by_crnti[crnti]
+        assert ctx.sgw_teid_ul, "bearer not established"
+        resp = self.sgw.handle_uplink(gtpu_encap(ctx.sgw_teid_ul, ip_pkt))
+        assert resp is None
+
+    def poll_downlink_user(self) -> list:
+        """Drain SGW downlink queue -> [(crnti, ip_pkt)] for PDCP DL."""
+        out = []
+        for pdu in self.sgw.dl_queue:
+            msg_type, teid, payload = gtpu_decap(pdu)
+            assert msg_type == GTPU_GPDU
+            out.append((self.by_teid[teid].crnti, payload))
+        self.sgw.dl_queue = []
+        return out

@@ -1,0 +1,209 @@
+"""NAS EMM/ESM message set (24.301 subset) with a deterministic byte codec.
+
+Reference parity: openair-cn/NAS/EURECOM-NAS/src/emm/msg (AttachRequest,
+AuthenticationRequest/Response, SecurityModeCommand/Complete, AttachAccept,
+AttachComplete) and /esm/msg (ActivateDefaultEPSBearerContextRequest/
+Accept). The reference carries full 24.301 TLV encoding; this framework
+carries the same IEs through the PER-lite convention used by
+rrc/messages.py: one tag byte, then fixed-width fields MSB-first.
+
+Security: the reference's Milenage/EEA/EIA (openair-cn/SECU) is replaced
+by a deterministic SHA-256 derivation — same protocol shape (RAND/AUTN
+challenge, XRES comparison, KASME -> NAS keys, ciphering hook), documented
+non-cryptographic stand-in.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field, fields
+
+import numpy as np
+
+_REGISTRY: dict[int, type] = {}
+
+
+class _Writer:
+    def __init__(self):
+        self.out = bytearray()
+
+    def put(self, val: int, width_bytes: int):
+        assert 0 <= val < (1 << (8 * width_bytes)), (val, width_bytes)
+        self.out += int(val).to_bytes(width_bytes, "big")
+
+    def put_bytes(self, b: bytes, fixed: int | None = None):
+        if fixed is None:
+            assert len(b) < 256
+            self.out.append(len(b))
+            self.out += b
+        else:
+            assert len(b) == fixed
+            self.out += b
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, width_bytes: int) -> int:
+        v = int.from_bytes(self.data[self.pos:self.pos + width_bytes], "big")
+        self.pos += width_bytes
+        return v
+
+    def take_bytes(self, fixed: int | None = None) -> bytes:
+        if fixed is None:
+            n = self.data[self.pos]
+            self.pos += 1
+        else:
+            n = fixed
+        b = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return bytes(b)
+
+
+def _nas_message(tag: int):
+    """Dataclass codec: int fields use metadata width (bytes); bytes fields
+    are length-prefixed unless metadata gives a fixed size."""
+    def wrap(cls):
+        cls.TAG = tag
+        _REGISTRY[tag] = cls
+
+        def pack(self) -> bytes:
+            w = _Writer()
+            w.put(tag, 1)
+            for f in fields(self):
+                v = getattr(self, f.name)
+                if f.type in ("bytes", bytes):
+                    w.put_bytes(v, f.metadata.get("fixed"))
+                else:
+                    w.put(int(v), f.metadata.get("width", 2))
+            return bytes(w.out)
+
+        @classmethod
+        def unpack(kls, data: bytes):
+            r = _Reader(data)
+            t = r.take(1)
+            assert t == tag, (t, tag)
+            vals = {}
+            for f in fields(kls):
+                if f.type in ("bytes", bytes):
+                    vals[f.name] = r.take_bytes(f.metadata.get("fixed"))
+                else:
+                    vals[f.name] = r.take(f.metadata.get("width", 2))
+            return kls(**vals)
+
+        cls.pack = pack
+        cls.unpack = unpack
+        return cls
+    return wrap
+
+
+def decode_nas(data: bytes):
+    cls = _REGISTRY[data[0]]
+    return cls.unpack(data)
+
+
+def _f(width: int = 2, **kw):
+    return field(metadata={"width": width}, **kw)
+
+
+def _fb(fixed: int | None = None, default: bytes = b""):
+    return field(default=default, metadata={"fixed": fixed})
+
+
+# ------------------------------------------------------------------ EMM --
+
+@_nas_message(0x41)
+@dataclass
+class AttachRequest:
+    """24.301 §8.2.4: EPS attach type + identity (IMSI) + UE capability."""
+    imsi: int = field(metadata={"width": 8})
+    attach_type: int = _f(1, default=1)          # 1 = EPS attach
+    ue_network_capability: int = _f(2, default=0xF0F0)
+
+
+@_nas_message(0x52)
+@dataclass
+class AuthenticationRequest:
+    """§8.2.7: RAND + AUTN challenge."""
+    rand: bytes = _fb(16)
+    autn: bytes = _fb(16)
+    ksi: int = _f(1, default=0)
+
+
+@_nas_message(0x53)
+@dataclass
+class AuthenticationResponse:
+    res: bytes = _fb(8)
+
+
+@_nas_message(0x5D)
+@dataclass
+class SecurityModeCommand:
+    eea: int = _f(1, default=0)                   # selected ciphering algo
+    eia: int = _f(1, default=0)                   # selected integrity algo
+
+
+@_nas_message(0x5E)
+@dataclass
+class SecurityModeComplete:
+    imeisv: int = _f(8, default=0)
+
+
+@_nas_message(0x42)
+@dataclass
+class AttachAccept:
+    """§8.2.1 + piggybacked ESM ActivateDefaultBearerRequest bytes."""
+    guti: int = field(metadata={"width": 8})
+    tac: int = _f(2, default=1)
+    t3412: int = _f(1, default=6)
+    esm_container: bytes = _fb(None)
+
+
+@_nas_message(0x43)
+@dataclass
+class AttachComplete:
+    esm_container: bytes = _fb(None)
+
+
+# ------------------------------------------------------------------ ESM --
+
+@_nas_message(0xC1)
+@dataclass
+class ActivateDefaultBearerRequest:
+    """24.301 §8.3.6: EPS bearer identity + QoS + APN + PDN address."""
+    ebi: int = _f(1)
+    qci: int = _f(1, default=9)
+    pdn_ipv4: int = _f(4, default=0)
+    apn: bytes = _fb(None, b"oai.ipv4")
+
+
+@_nas_message(0xC2)
+@dataclass
+class ActivateDefaultBearerAccept:
+    ebi: int = _f(1)
+
+
+# ------------------------------------------------------------- security --
+
+def auth_vector(k: bytes, rand: bytes):
+    """Deterministic (RAND, AUTN, XRES, KASME) derivation — the protocol
+    shape of Milenage f1..f5 (openair-cn/SECU) with SHA-256 in place of
+    the AES kernel."""
+    def h(label: bytes) -> bytes:
+        return hashlib.sha256(label + k + rand).digest()
+    autn = h(b"autn")[:16]
+    xres = h(b"res")[:8]
+    kasme = h(b"kasme")
+    return autn, xres, kasme
+
+
+def nas_keystream(kasme: bytes, count: int, length: int) -> np.ndarray:
+    """EEA-lite keystream for the PDCP ciphering hook (mac/pdcp.py)."""
+    out = bytearray()
+    blk = 0
+    while len(out) < length:
+        out += hashlib.sha256(kasme + count.to_bytes(4, "big")
+                              + blk.to_bytes(4, "big")).digest()
+        blk += 1
+    return np.frombuffer(bytes(out[:length]), np.uint8)

@@ -1,0 +1,77 @@
+"""SGW/PGW-lite: bearer tunnel table + user-plane forwarding + PDN.
+
+Reference parity: openair-cn/SGW-LITE (sgw_lite_task.c: Create/Modify
+Session handling, per-bearer S1-U TEID allocation, GTP-U forwarding) and
+the collapsed PGW (IP address pool, SGi). The "PDN" here is an in-process
+endpoint the test can program (default: echo), standing in for the SGi
+interface.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .gtpu import gtpu_encap, gtpu_decap, GTPU_GPDU, GTPU_ECHO_REQ, \
+    GTPU_ECHO_RSP
+
+
+@dataclass
+class Bearer:
+    imsi: int
+    ebi: int
+    ue_ipv4: int
+    sgw_teid_ul: int          # eNB -> SGW tunnel id (we allocated)
+    enb_teid_dl: int = 0      # SGW -> eNB tunnel id (eNB allocated)
+    enb_addr: int = 0
+
+
+class SgwPgw:
+    """S11-lite control (create/modify session) + S1-U user plane."""
+
+    def __init__(self, ip_pool_base: int = 0x0C000002):   # 12.0.0.2+
+        self._bearers_by_teid: dict[int, Bearer] = {}
+        self._bearers_by_ip: dict[int, Bearer] = {}
+        self._next_teid = 0x1000
+        self._next_ip = ip_pool_base
+        self.dl_queue: list[bytes] = []        # GTP-U PDUs toward the eNB
+        self.pdn_handler = lambda ue_ip, pkt: pkt   # SGi: default echo
+
+    # ------------------------------------------------------- S11 control --
+    def create_session(self, imsi: int, ebi: int) -> Bearer:
+        """S11 Create Session Request -> allocate UE IP + S1-U UL TEID."""
+        b = Bearer(imsi=imsi, ebi=ebi, ue_ipv4=self._next_ip,
+                   sgw_teid_ul=self._next_teid)
+        self._next_ip += 1
+        self._next_teid += 1
+        self._bearers_by_teid[b.sgw_teid_ul] = b
+        self._bearers_by_ip[b.ue_ipv4] = b
+        return b
+
+    def modify_bearer(self, sgw_teid_ul: int, enb_teid_dl: int,
+                      enb_addr: int) -> None:
+        """S11 Modify Bearer: learn the eNB's DL endpoint (completes the
+        tunnel after InitialContextSetupResponse)."""
+        b = self._bearers_by_teid[sgw_teid_ul]
+        b.enb_teid_dl = enb_teid_dl
+        b.enb_addr = enb_addr
+
+    # -------------------------------------------------------- user plane --
+    def handle_uplink(self, gtpu_pdu: bytes) -> bytes | None:
+        """eNB -> SGW S1-U PDU. G-PDUs go to the PDN; the PDN's response
+        (echo by default) is encapsulated downlink. Echo Requests get an
+        Echo Response (returned directly)."""
+        msg_type, teid, payload = gtpu_decap(gtpu_pdu)
+        if msg_type == GTPU_ECHO_REQ:
+            return gtpu_encap(teid, b"", GTPU_ECHO_RSP)
+        assert msg_type == GTPU_GPDU, msg_type
+        b = self._bearers_by_teid[teid]
+        resp = self.pdn_handler(b.ue_ipv4, payload)
+        if resp is not None:
+            assert b.enb_teid_dl, "downlink tunnel not established"
+            self.dl_queue.append(gtpu_encap(b.enb_teid_dl, resp))
+        return None
+
+    def send_downlink(self, ue_ipv4: int, pkt: bytes) -> None:
+        """PDN-originated downlink packet toward a UE IP."""
+        b = self._bearers_by_ip[ue_ipv4]
+        assert b.enb_teid_dl, "downlink tunnel not established"
+        self.dl_queue.append(gtpu_encap(b.enb_teid_dl, pkt))

@@ -1,0 +1,61 @@
+"""UE NAS (EMM/ESM) state machine.
+
+Reference parity: openair-cn/NAS/EURECOM-NAS/src UE side — emm attach
+procedure (emm/Attach.c), authentication response computation
+(emm/Authentication.c), security mode (emm/SecurityModeControl.c), ESM
+default-bearer accept (esm/DefaultEpsBearerContextActivation.c).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from .nas import (AttachRequest, AuthenticationRequest,
+                  AuthenticationResponse, SecurityModeCommand,
+                  SecurityModeComplete, AttachAccept, AttachComplete,
+                  ActivateDefaultBearerRequest, ActivateDefaultBearerAccept,
+                  decode_nas, auth_vector)
+
+
+class UeEmmState(Enum):
+    DEREGISTERED = 0
+    ATTACHING = 1
+    REGISTERED = 2
+
+
+class UeNas:
+    def __init__(self, imsi: int, k: bytes):
+        assert len(k) == 16
+        self.imsi = imsi
+        self.k = k
+        self.state = UeEmmState.DEREGISTERED
+        self.guti = 0
+        self.ip = 0
+        self.ebi = 0
+        self.kasme = b""
+
+    def attach_request(self) -> bytes:
+        self.state = UeEmmState.ATTACHING
+        return AttachRequest(imsi=self.imsi).pack()
+
+    def handle_downlink(self, nas_pdu: bytes) -> bytes | None:
+        """DL NAS in -> optional UL NAS out."""
+        msg = decode_nas(nas_pdu)
+        if isinstance(msg, AuthenticationRequest):
+            # recompute from (K, RAND); verify the network via AUTN
+            autn, res, kasme = auth_vector(self.k, msg.rand)
+            assert autn == msg.autn, "network authentication failed"
+            self.kasme = kasme
+            return AuthenticationResponse(res=res).pack()
+        if isinstance(msg, SecurityModeCommand):
+            return SecurityModeComplete().pack()
+        if isinstance(msg, AttachAccept):
+            esm = decode_nas(msg.esm_container)
+            assert isinstance(esm, ActivateDefaultBearerRequest)
+            self.guti = msg.guti
+            self.ip = esm.pdn_ipv4
+            self.ebi = esm.ebi
+            self.state = UeEmmState.REGISTERED
+            acc = ActivateDefaultBearerAccept(ebi=esm.ebi)
+            return AttachComplete(esm_container=acc.pack()).pack()
+        raise ValueError(f"unhandled DL NAS {msg}")

@@ -39,7 +39,7 @@ def main():
         cfg = DlsimFadingConfig(mcs=mcs, n_rb=n_rb, channel=chan,
                                 n_pdcch_symbols=c, n_rx=2,
                                 n_harq_rounds=4, batch=batch,
-                                snr_convention="dlsim")
+                                snr_convention="dlsim", est_mode="joint")
         sim = DlsimFading(cfg)
         t0 = time.time()
         errs, reach = sim.run_snr(snr, n_trials)
