@@ -79,6 +79,11 @@ class OaisimConfig:
     traffic: str = "full"            # "full" | "onoff"
     onoff_p: float = 0.5
     mac: str = "rr"                  # "rr" round-robin | "pf" prop-fair
+    ul_traffic: bool = False         # enable the uplink MAC pass
+    ul_arrival_p: float = 0.1        # per-UE per-TTI UL arrival probability
+    ul_bytes: int = 600              # bytes per UL arrival
+    ul_mcs: int = 10
+    ul_tx_power_db: float = 30.0     # UE TX power over noise at d_ref
     n_turbo_iter: int = 6
     n_harq_rounds: int = 1           # >1 enables HARQ in the emulator loop
     seed: int = 0
@@ -105,6 +110,9 @@ class OaisimConfig:
             onoff_p=app.get("onoff_p", 0.5),
             mode=emu.get("mode", "abstraction"),
             mac=emu.get("mac", "rr"),
+            ul_traffic=app.get("ul_traffic", False),
+            ul_arrival_p=app.get("ul_arrival_p", 0.1),
+            ul_bytes=app.get("ul_bytes", 600),
             n_harq_rounds=emu.get("n_harq_rounds", 1),
             seed=emu.get("seed", 0))
 
@@ -164,6 +172,89 @@ class Oaisim:
         self.harq_round = np.zeros(cfg.n_ue, np.int32)
         self.harq_pending = np.zeros(cfg.n_ue, bool)
         self.acc_eff = np.zeros(cfg.n_ue, np.float32)
+        if cfg.ul_traffic:
+            self._init_ul_mac()
+
+    # ------------------------------------------------------------ UL MAC --
+    def _init_ul_mac(self):
+        """Uplink MAC pass: per-UE UeMac (BSR/PHR + UL HARQ entity) and a
+        per-eNB multi-UE UlScheduler (schedule_ulsch parity) — the UL side
+        of eNB_dlsch_ulsch_scheduler the reference runs every TTI."""
+        from ..mac.ue_mac import UeMac, UeUlHarqEntity, unpack_short_bsr, \
+            unpack_long_bsr
+        from ..mac.ul_scheduler import UlScheduler, UlUeState
+        cfg = self.cfg
+        self._ue_mac = [UeMac(periodic_bsr_sf=5) for _ in range(cfg.n_ue)]
+        self._ue_ulharq = [UeUlHarqEntity() for _ in range(cfg.n_ue)]
+        self._ul_sched = [UlScheduler(n_rb_ul=cfg.n_rb, n_cce_max=8)
+                          for _ in range(cfg.n_enb)]
+        self._ul_state = [UlUeState(rnti=u, mcs=cfg.ul_mcs)
+                          for u in range(cfg.n_ue)]
+        from ..tables.tbs import get_TBS_UL
+        self._get_tbs_ul = get_TBS_UL
+        self._unpack_bsr = (unpack_short_bsr, unpack_long_bsr)
+        self.stats.update(ul_tb_ok=np.zeros(cfg.n_ue, np.int64),
+                          ul_tb_err=np.zeros(cfg.n_ue, np.int64),
+                          ul_bytes_ok=np.zeros(cfg.n_ue, np.int64))
+
+    def _ul_tti(self, tti: int):
+        """One uplink TTI: traffic -> BSR CEs -> per-eNB schedule_ulsch ->
+        abstraction-mode PUSCH outcome -> HARQ bookkeeping."""
+        cfg = self.cfg
+        unpack_short, unpack_long = self._unpack_bsr
+        pid = tti % 8
+        for u in range(cfg.n_ue):
+            if self.rng.random() < cfg.ul_arrival_p:
+                self._ue_mac[u].offer_data(0, cfg.ul_bytes)
+            self._ue_mac[u].tick()
+            for lcid, ce in self._ue_mac[u].pending_ces():
+                if lcid == 0x1D:
+                    self._ul_state[u].buffer_bytes = unpack_short(ce)[1]
+                elif lcid == 0x1E:
+                    self._ul_state[u].buffer_bytes = sum(unpack_long(ce))
+        # uplink geometry: reuse the DL pathloss, UE TX power; interference
+        # comes from co-scheduled UEs in OTHER cells (host-level SINR)
+        granted = []
+        for e in range(cfg.n_enb):
+            cell_ues = [self._ul_state[u] for u in range(cfg.n_ue)
+                        if self.serving[u] == e]
+            if cell_ues:    # round-robin rotation for multi-UE fairness
+                rot = tti % len(cell_ues)
+                cell_ues = cell_ues[rot:] + cell_ues[:rot]
+            for g in self._ul_sched[e].schedule(cell_ues, pid=pid):
+                granted.append((e, g))
+        gain = self.p_rx * 10.0 ** ((cfg.ul_tx_power_db - cfg.tx_power_db)
+                                    / 10.0)            # [U, E] UL link gain
+        tx_ues = [g.rnti for _, g in granted]
+        for e, g in granted:
+            u = g.rnti
+            sig = gain[u, e]
+            intf = sum(gain[v, e] for v in tx_ues
+                       if v != u and self.serving[v] != e)
+            sinr = sig / (intf + 1.0)
+            bler = float(np.exp(np.interp(
+                10 * np.log10(max(sinr, 1e-30)), self.table.snr_db,
+                self.table.log_bler, left=0.0,
+                right=self.table.log_bler[-1])))
+            # chase combining across rounds: effective SINR adds
+            sinr_eff = sinr * (1 + self._ul_state[u].retx_round)
+            bler = float(np.exp(np.interp(
+                10 * np.log10(max(sinr_eff, 1e-30)), self.table.snr_db,
+                self.table.log_bler, left=0.0,
+                right=self.table.log_bler[-1])))
+            tx = self._ue_ulharq[u].on_grant(pid, g.ndi, b"")
+            crc_ok = bool(self.rng.random() > bler)
+            new_tb = g.rv == 0
+            self._ul_sched[e].on_pusch_result(self._ul_state[u], g, crc_ok)
+            del new_tb, tx
+            if crc_ok:                                 # TB completes
+                self._ue_ulharq[u].on_ack(pid)
+                self.stats["ul_tb_ok"][u] += 1
+                nbytes = self._get_tbs_ul(g.mcs, g.n_prb) // 8
+                self._ue_mac[u].consume(nbytes)
+                self.stats["ul_bytes_ok"][u] += nbytes
+            elif self._ul_state[u].retx_round == 0:
+                self.stats["ul_tb_err"][u] += 1       # lost after max rounds
 
     # ----------------------------------------------------------- topology --
     def _update_links(self):
@@ -344,6 +435,8 @@ class Oaisim:
             serving_onehot = np.zeros((U, E), np.float32)
             serving_onehot[np.arange(U), self.serving] = 1.0
             for tti in range(10):
+                if cfg.ul_traffic:
+                    self._ul_tti(self._frame * 10 + tti)
                 sched = self._schedule(tti)
                 keys = jnp.asarray(host_keys(
                     cfg.seed + 1, U * E, stream=self._frame * 10 + tti))
@@ -419,9 +512,15 @@ class Oaisim:
         sent = np.maximum(self.stats["tb_sent"], 1)
         per_ue_bler = self.stats["tb_err"] / sent
         thr = self.stats["bits_ok"] / max(self._frame * 0.01, 1e-9)
-        return dict(frames=self._frame,
+        out = dict(frames=self._frame,
                     per_ue_bler=per_ue_bler,
                     mean_bler=float(per_ue_bler.mean()),
                     sum_throughput_mbps=float(thr.sum() / 1e6),
                     retx_total=int(self.stats["retx"].sum()),
                     serving=self.serving.copy())
+        if "ul_tb_ok" in self.stats:
+            out["ul_tb_ok"] = self.stats["ul_tb_ok"].copy()
+            out["ul_throughput_mbps"] = float(
+                self.stats["ul_bytes_ok"].sum() * 8
+                / max(self._frame * 0.01, 1e-9) / 1e6)
+        return out
