@@ -33,8 +33,33 @@ CORPUS = [
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     out_path = sys.argv[2] if len(sys.argv) > 2 else "fading_campaign.json"
+    only = sys.argv[3] if len(sys.argv) > 3 else None
     results = {}
+    if only is None:
+        # one subprocess per config: the remote TPU compile service caps
+        # the accumulated upload size per session (HTTP 413)
+        import os
+        import subprocess
+        for name, *_ in CORPUS:
+            r = subprocess.run(
+                [sys.executable, __file__, str(n_trials),
+                 out_path + f".{name}", name])
+            if r.returncode != 0:
+                print(f"{name}: FAILED rc={r.returncode}", flush=True)
+        for name, *_ in CORPUS:
+            try:
+                with open(out_path + f".{name}") as f:
+                    results.update(json.load(f))
+                os.unlink(out_path + f".{name}")
+            except FileNotFoundError:
+                pass
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", out_path)
+        return
     for name, mcs, n_rb, c, chan, snr, ref in CORPUS:
+        if name != only:
+            continue
         batch = 128 if n_rb == 50 else 256
         cfg = DlsimFadingConfig(mcs=mcs, n_rb=n_rb, channel=chan,
                                 n_pdcch_symbols=c, n_rx=2,
@@ -55,7 +80,6 @@ def main():
               f"ref={ref}  ({dt:.0f}s)", flush=True)
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
-    print("wrote", out_path)
 
 
 if __name__ == "__main__":

