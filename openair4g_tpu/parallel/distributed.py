@@ -45,7 +45,7 @@ def init_multihost(coordinator: str | None, nprocs: int, proc_id: int):
     if nprocs > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=nprocs,
-                                   process_index=proc_id)
+                                   process_id=proc_id)
 
 
 def global_mesh(axis: str = "ue") -> Mesh:
@@ -169,7 +169,24 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=1024)
     p.add_argument("--batch-per-device", type=int, default=32)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) before init — "
+                   "needed for localhost multi-process CPU runs where two "
+                   "processes must not dial the single TPU")
+    p.add_argument("--host-devices", type=int, default=0,
+                   help="with --platform cpu: virtual device count per "
+                   "process (xla_force_host_platform_device_count)")
+    p.add_argument("--out", default=None,
+                   help="process 0 writes rows as JSON here")
     a = p.parse_args(argv)
+    if a.host_devices:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={a.host_devices}"
+        ).strip()
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
     init_multihost(a.coordinator, a.nprocs, a.proc_id)
 
     def factory():
@@ -178,9 +195,14 @@ def main(argv=None):
         sim.trial_ok = sim._trial_step      # [b] ok + per-trial extras
         return sim
 
-    return distributed_bler_sweep(factory, _parse_snrs(a.snrs), a.frames,
+    rows = distributed_bler_sweep(factory, _parse_snrs(a.snrs), a.frames,
                                   batch_per_device=a.batch_per_device,
                                   ckpt_path=a.ckpt)
+    if a.out and jax.process_index() == 0:
+        import json
+        with open(a.out, "w") as f:
+            json.dump(rows, f)
+    return rows
 
 
 if __name__ == "__main__":

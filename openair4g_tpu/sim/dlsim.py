@@ -32,6 +32,7 @@ from ..phy.equalize import mrc_equalize
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
 from ..utils.rng import host_keys
+from ..utils import profiler
 from .channels import ChannelModel, apply_channel_grid, harq_forgetting_factor
 
 
@@ -293,14 +294,20 @@ class DlsimFading:
 
     def _step(self, keys, n0, W):
         """One batched trial across all HARQ rounds (host-side round loop
-        over per-round device programs; carries stay on device)."""
+        over per-round device programs; carries stay on device). Stage
+        timings feed utils/profiler (the reference's time_meas wrapping of
+        every stage, dlsim.c:3266+)."""
+        import time as _time
+        t0 = _time.perf_counter()
         d_flats, k_ch, k_noise = self._tx(keys)
+        profiler.stop_meas("dlsim.tx_encode", t0, d_flats)
         reached = None
         ok_any = None
         w_soft = taps = None
         errs, reach_counts = [], []
         for rnd in range(self.cfg.n_harq_rounds):
             fn = self._round(rnd)
+            t0 = _time.perf_counter()
             if rnd == 0:
                 ok, w_soft, taps = fn(d_flats, k_ch[0], k_noise[0], n0, W)
                 ok_any = np.asarray(ok)
@@ -309,6 +316,7 @@ class DlsimFading:
                 ok, w_soft, taps = fn(d_flats, k_ch[rnd], k_noise[rnd],
                                       n0, W, w_soft, taps)
                 ok_any = ok_any | np.asarray(ok)
+            profiler.stop_meas(f"dlsim.round{rnd}(chan+rx+decode)", t0)
             err_r = reached & ~ok_any
             errs.append(int(err_r.sum()))
             reach_counts.append(int(reached.sum()))
@@ -332,7 +340,20 @@ class DlsimFading:
         return errs, reach
 
     def sweep(self, snrs, n_frames: int, seed: int = 0, verbose: bool = True,
-              early_exit: bool = True):
+              early_exit: bool = True, profile: bool = False,
+              trace_dir: str | None = None):
+        """SNR sweep. profile=True prints the per-stage time_meas table at
+        exit (dlsim.c:3266+ parity); trace_dir records a Perfetto trace of
+        one representative step (the VCD dumper's equivalent artifact)."""
+        if trace_dir is not None:
+            from ..utils.tracing import trace, annotate
+            n0 = jnp.float32(10.0 ** (-float(snrs[0]) / 10.0))
+            W = self.wiener(float(snrs[0]))
+            keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=0))
+            self._step(keys, n0, W)            # compile outside the trace
+            with trace(trace_dir):
+                with annotate("dlsim.step"):
+                    self._step(keys, n0, W)
         rows = []
         for s in snrs:
             errs, reach = self.run_snr(float(s), n_frames, seed)
@@ -344,4 +365,6 @@ class DlsimFading:
                 print(f"SNR {s:+6.2f} dB: {txt}", flush=True)
             if early_exit and errs[-1] == 0:
                 break
+        if profile:
+            profiler.print_meas()
         return rows

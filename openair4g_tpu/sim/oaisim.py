@@ -32,7 +32,7 @@ from ..config import FrameParms
 from ..tables.tbs import get_TBS_DL, get_Qm
 from ..utils.rng import host_keys
 from .channels import ChannelModel
-from .abstraction import eesm, BlerTable, draw_block_errors
+from .abstraction import miesm, eesm, BlerTable, draw_block_errors
 
 # EESM beta calibration per modulation order (tunable; the reference
 # carries per-MCS beta1/beta2 tables in dlsch_decoding.c:524+)
@@ -51,6 +51,25 @@ _BLER_ANCHORS = {
 
 
 @functools.lru_cache(maxsize=None)
+def calibrated_bler_table(mcs: int, n_rb: int = 25, n_frames: int = 512,
+                          snr_span_db: float = 3.0, n_pts: int = 9,
+                          batch: int = 128) -> BlerTable:
+    """Calibrate the abstraction's per-MCS BLER table by running the
+    bit-level AWGN link sim around the waterfall (the reference's
+    AWGN_results corpus generation feeding dlsch_abstraction_EESM's
+    beta-calibrated tables, dlsch_decoding.c:543). Centered on the
+    anchor-model knee, sampled at n_pts points over +-snr_span_db/2."""
+    from .dlsim import DlsimAwgn, DlsimConfig
+    from .abstraction import calibrate_bler_table
+    anchor = default_bler_table(mcs)
+    knee = float(np.interp(np.log(0.5), anchor.log_bler[::-1],
+                           anchor.snr_db[::-1]))
+    snrs = np.linspace(knee - snr_span_db / 2, knee + snr_span_db / 2,
+                       n_pts)
+    sim = DlsimAwgn(DlsimConfig(mcs=mcs, n_rb=n_rb, batch=batch))
+    return calibrate_bler_table(sim, snrs, n_frames)
+
+
 def default_bler_table(mcs: int) -> BlerTable:
     """Piecewise curve through the nearest anchor MCS (shifted by the
     spectral-efficiency delta); good enough for system-level emulation."""
@@ -71,6 +90,7 @@ class OaisimConfig:
     mcs: int = 4
     channel: str = "EPA"
     mode: str = "abstraction"        # "abstraction" | "phy"
+    esm: str = "eesm"                # effective-SINR map: "eesm" | "miesm"
     tx_power_db: float = 0.0         # eNB TX power over noise at d_ref
     pathloss_exp: float = 3.5
     d_ref: float = 100.0             # distance with 0 dB pathloss
@@ -109,6 +129,7 @@ class OaisimConfig:
             traffic=app.get("traffic", "full"),
             onoff_p=app.get("onoff_p", 0.5),
             mode=emu.get("mode", "abstraction"),
+            esm=emu.get("esm", "eesm"),
             mac=emu.get("mac", "rr"),
             ul_traffic=app.get("ul_traffic", False),
             ul_arrival_p=app.get("ul_arrival_p", 0.1),
@@ -328,7 +349,10 @@ class Oaisim:
         sig = jnp.sum(serving_onehot[:, :, None] * g, axis=1)
         intf = jnp.sum(g, axis=1) - sig
         sinr = sig / (intf + 1.0)                            # n0 = 1
-        eff = eesm(sinr, self.beta) + acc_eff                # [U] combined
+        if cfg.esm == "miesm":
+            eff = miesm(sinr, self.Qm) + acc_eff             # [U] combined
+        else:
+            eff = eesm(sinr, self.beta) + acc_eff
         bler = self.table.lookup(eff)
         err = draw_block_errors(ev_keys[:, 1][0], bler)      # one key is fine
         return taps, err & sched, eff

@@ -1,0 +1,78 @@
+"""Observability: per-stage time_meas table at sim exit, Perfetto trace
+artifact (VCD dumper equivalent), MIESM-wired oaisim, calibrated
+abstraction tables vs full-PHY BLER.
+
+Reference parity: dlsim.c:3266+ per-stage stats printout,
+vcd_signal_dumper.c:274 trace artifact, dlsch_decoding.c:543 calibrated
+abstraction tables, abstraction.c MIESM.
+"""
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+from openair4g_tpu.sim.dlsim import (DlsimFading, DlsimFadingConfig,
+                                     DlsimAwgn, DlsimConfig)
+from openair4g_tpu.utils import profiler
+
+
+def test_per_stage_timing_table_at_sim_exit(tmp_path):
+    profiler.reset_meas()
+    sim = DlsimFading(DlsimFadingConfig(mcs=4, n_rb=6, channel="EVA",
+                                        n_pdcch_symbols=3, batch=32,
+                                        n_harq_rounds=2))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sim.sweep([2.0], n_frames=32, profile=True)
+    out = buf.getvalue()
+    assert "dlsim.tx_encode" in out
+    assert "dlsim.round0(chan+rx+decode)" in out
+    assert "mean_us" in out
+    stats = profiler.get_meas()
+    assert stats["dlsim.tx_encode"][0] >= 1     # trials counted
+
+
+def test_trace_artifact_produced(tmp_path):
+    from openair4g_tpu.utils.tracing import trace_artifacts
+    sim = DlsimFading(DlsimFadingConfig(mcs=4, n_rb=6, channel="AWGN",
+                                        n_pdcch_symbols=3, batch=16,
+                                        n_harq_rounds=1))
+    d = str(tmp_path / "trace")
+    sim.sweep([2.0], n_frames=16, verbose=False, trace_dir=d)
+    assert trace_artifacts(d), "no trace files written"
+
+
+def test_oaisim_miesm_mode_runs():
+    import os
+    from openair4g_tpu.sim.oaisim import Oaisim, OaisimConfig
+    a = Oaisim(OaisimConfig(n_enb=1, n_ue=3, esm="eesm", seed=2)
+               ).run_frames(5)
+    b = Oaisim(OaisimConfig(n_enb=1, n_ue=3, esm="miesm", seed=2)
+               ).run_frames(5)
+    # same geometry/seed; both effective-SINR maps give sane, comparable
+    # BLER (MIESM and EESM agree within coarse bounds on flat-ish SINR)
+    assert 0.0 <= b["mean_bler"] <= 1.0
+    assert abs(a["mean_bler"] - b["mean_bler"]) < 0.5
+
+
+def test_calibrated_table_matches_full_phy():
+    """Abstraction with a calibrated table reproduces the bit-level sim's
+    BLER within 1 dB at 3 MCS points (VERDICT round-1 item 9 bound)."""
+    from openair4g_tpu.sim.oaisim import calibrated_bler_table
+    for mcs in (0, 4, 10):
+        table = calibrated_bler_table(mcs, n_frames=256, n_pts=7,
+                                      batch=128)
+        sim = DlsimAwgn(DlsimConfig(mcs=mcs, n_rb=25, batch=128))
+        # the SNR where the calibrated table predicts 50% BLER:
+        knee = float(np.interp(np.log(0.5), table.log_bler[::-1],
+                               table.snr_db[::-1]))
+        for probe, hi_ok in ((knee - 0.5, False), (knee + 0.5, True)):
+            errs, trials = sim.run_snr(probe, 256)
+            bler = errs / trials
+            pred = float(np.exp(np.interp(probe, table.snr_db,
+                                          table.log_bler)))
+            # within 1 dB equivalent: at +-0.5 dB from the knee the sign
+            # of (bler - 0.5) must match the table's prediction
+            assert (bler > 0.5) == (pred > 0.5) or abs(bler - pred) < 0.25, \
+                (mcs, probe, bler, pred)
