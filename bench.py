@@ -46,12 +46,92 @@ def main():
 
     sf_per_s = n_rep * batch / best
     assert ok_total > 0
+
+    extras = {}
+    try:
+        extras["turbo_decode_mbit_per_s"] = _bench_turbo()
+        extras["ofdm_equalize_msamples_per_s"] = _bench_ofdm_equalize()
+    except Exception as e:          # pragma: no cover
+        extras["error"] = repr(e)
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(extras, f, indent=1)
+
     print(json.dumps({
         "metric": "pdsch_subframes_per_s_per_chip(mcs4_25prb_8iter)",
         "value": round(sf_per_s, 1),
         "unit": "subframes/s",
         "vs_baseline": round(sf_per_s / 1000.0, 3),
     }))
+
+
+def _pipeline_best(fn, args_fn, n_rep: int = 10, windows: int = 3):
+    """Best-of-N wall time for n_rep pipelined dispatches with one final
+    materialization (the honest axon-tunnel timing pattern)."""
+    outs = [fn(*args_fn(0))]
+    np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+    best = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        outs = [fn(*args_fn(w * n_rep + i + 1)) for i in range(n_rep)]
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[:1]
+        best = min(best, time.perf_counter() - t0)
+    return best / n_rep
+
+
+def _bench_turbo() -> float:
+    """Turbo decode Mbit/s/chip at K=6144, 8 iterations, batch 512 —
+    BASELINE.md's speed-of-light kernel metric."""
+    from openair4g_tpu.phy.pdsch import DlschConfig, DlschCodec
+    from openair4g_tpu.utils.rng import host_keys
+    codec = DlschCodec(DlschConfig(mcs=10, n_rb=50, n_turbo_iter=8))
+    batch = 512
+    G = codec.cfg.G
+    key_llr = jnp.asarray(host_keys(7, 1)[0])
+    tb = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (batch, codec.cfg.tbs)).astype(jnp.int32)
+    e = codec.encode(tb)
+    llr_clean = (1.0 - 2.0 * e.astype(jnp.float32)) * 4.0
+    noise = jax.random.normal(key_llr, llr_clean.shape)
+    llr = llr_clean + noise
+    dec = jax.jit(lambda l: codec.decode(l)[1])
+    dt = _pipeline_best(dec, lambda i: (llr,), n_rep=5)
+    return round(batch * codec.cfg.tbs / dt / 1e6, 1)
+
+
+def _bench_ofdm_equalize() -> float:
+    """OFDM demod + LMMSE channel estimate + MRC equalize + LLR demap
+    Msamples/s/chip at 20 MHz (100 PRB) — the inner-receiver front end."""
+    from openair4g_tpu.config import FrameParms
+    from openair4g_tpu.phy import ofdm
+    from openair4g_tpu.phy.resource_grid import make_grid_map, extract_data_res
+    from openair4g_tpu.phy.channel_est import (make_wiener_joint,
+                                               estimate_channel_joint)
+    from openair4g_tpu.phy.equalize import mrc_equalize
+    from openair4g_tpu.ops.llr import demap_llr
+    fp = FrameParms(n_rb=100)
+    gm = make_grid_map(100, 1)
+    n0 = jnp.float32(0.1)
+    W = jnp.asarray(make_wiener_joint(gm, 0.1))
+    batch = 32
+    data_sym = jnp.asarray(gm.data_sym)
+    data_sc = jnp.asarray(gm.data_sc)
+
+    def rx_front(keys):
+        nr = jax.vmap(lambda k: jax.random.normal(
+            k, (fp.samples_per_tti, 2)))(keys)
+        t = nr[..., 0] + 1j * nr[..., 1]
+        rgrid = ofdm.ofdm_demodulate(t, fp)
+        H = estimate_channel_joint(rgrid, gm, W)
+        y = extract_data_res(rgrid, gm)
+        h = H[:, data_sym, data_sc]
+        x, n0e = mrc_equalize(y[..., None], h[..., None], n0)
+        return jnp.sum(jnp.abs(demap_llr(x, n0e, 4))).astype(jnp.float32)
+
+    from openair4g_tpu.utils.rng import host_keys
+    f = jax.jit(rx_front)
+    dt = _pipeline_best(
+        f, lambda i: (jnp.asarray(host_keys(3, batch, stream=i)),), n_rep=5)
+    return round(batch * fp.samples_per_tti / dt / 1e6, 1)
 
 
 if __name__ == "__main__":

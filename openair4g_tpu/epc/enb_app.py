@@ -33,9 +33,15 @@ class EnbApp:
     """One eNB's S1 interface. `mme` is the Mme object (in-process SCTP);
     `sgw` the SgwPgw (in-process S1-U)."""
 
-    def __init__(self, mme, sgw, enb_id: int = 0x19B, addr: int = 0x0A000002):
+    def __init__(self, mme, sgw, enb_id: int = 0x19B, addr: int = 0x0A000002,
+                 msc=None, pcap=None):
+        """msc: optional utils.msc.Msc — records every S1AP/NAS exchange
+        (the reference's MSC generator); pcap: optional utils.opt.PcapWriter
+        — captures NAS and user-plane PDUs (the OPT packet tracer)."""
         self.mme = mme
         self.sgw = sgw
+        self.msc = msc
+        self.pcap = pcap
         self.enb_id = enb_id
         self.addr = addr
         self.by_crnti: dict[int, EnbUeS1Context] = {}
@@ -46,10 +52,16 @@ class EnbApp:
         self.s1_up = False
         self._s1_setup()
 
+    def _mrec(self, src, dst, label):
+        if self.msc is not None:
+            self.msc.record(src, dst, label)
+
     def _s1_setup(self):
+        self._mrec("eNB", "MME", "S1SetupRequest")
         for pdu in self.mme.handle_s1ap(
                 S1SetupRequest(enb_id=self.enb_id).pack()):
             decode_s1ap(pdu)            # S1SetupResponse
+            self._mrec("MME", "eNB", "S1SetupResponse")
         self.s1_up = True
 
     # ------------------------------------------------------ NAS transport --
@@ -60,12 +72,22 @@ class EnbApp:
         self._next_ue_id += 1
         self.by_crnti[crnti] = ctx
         self.by_enb_ue_id[ctx.enb_ue_id] = ctx
+        self._mrec("eNB", "MME", "InitialUEMessage(AttachRequest)")
+        if self.pcap is not None:
+            from ..utils.opt import KIND_NAS, DIR_UL
+            self.pcap.write(nas_pdu, kind=KIND_NAS, direction=DIR_UL,
+                            rnti=crnti)
         self._dispatch(self.mme.handle_s1ap(
             InitialUeMessage(enb_ue_id=ctx.enb_ue_id,
                              nas_pdu=nas_pdu).pack()))
 
     def uplink_nas(self, crnti: int, nas_pdu: bytes) -> None:
         ctx = self.by_crnti[crnti]
+        self._mrec("eNB", "MME", "UplinkNASTransport")
+        if self.pcap is not None:
+            from ..utils.opt import KIND_NAS, DIR_UL
+            self.pcap.write(nas_pdu, kind=KIND_NAS, direction=DIR_UL,
+                            rnti=crnti)
         self._dispatch(self.mme.handle_s1ap(
             UplinkNasTransport(mme_ue_id=ctx.mme_ue_id,
                                enb_ue_id=ctx.enb_ue_id,
@@ -82,10 +104,13 @@ class EnbApp:
         for pdu in pdus:
             msg = decode_s1ap(pdu)
             if isinstance(msg, DownlinkNasTransport):
+                self._mrec("MME", "eNB", "DownlinkNASTransport")
                 ctx = self.by_enb_ue_id[msg.enb_ue_id]
                 ctx.mme_ue_id = msg.mme_ue_id
                 ctx.pending_nas.append(msg.nas_pdu)
             elif isinstance(msg, InitialContextSetupRequest):
+                self._mrec("MME", "eNB", "InitialContextSetupRequest")
+                self._mrec("eNB", "MME", "InitialContextSetupResponse")
                 ctx = self.by_enb_ue_id[msg.enb_ue_id]
                 ctx.mme_ue_id = msg.mme_ue_id
                 ctx.erab_id = msg.erab_id
@@ -115,6 +140,11 @@ class EnbApp:
         """PDCP SDU from the UE's DRB -> GTP-U toward the SGW."""
         ctx = self.by_crnti[crnti]
         assert ctx.sgw_teid_ul, "bearer not established"
+        if self.pcap is not None:
+            from ..utils.opt import KIND_IP, DIR_UL
+            self.pcap.write(ip_pkt, kind=KIND_IP, direction=DIR_UL,
+                            rnti=crnti)
+        self._mrec("eNB", "SGW", "GTP-U G-PDU (UL)")
         resp = self.sgw.handle_uplink(gtpu_encap(ctx.sgw_teid_ul, ip_pkt))
         assert resp is None
 

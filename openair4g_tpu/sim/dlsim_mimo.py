@@ -24,6 +24,7 @@ from ..phy.resource_grid import make_grid_map, fill_grid_port, extract_data_res
 from ..phy.channel_est import make_wiener_stack, estimate_channel
 from ..phy.alamouti import sfbc_encode, sfbc_combine
 from ..phy import ofdm
+from .channels import ChannelModel, apply_channel_grid
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
 
@@ -33,6 +34,9 @@ class DlsimTxDivConfig:
     mcs: int = 4
     n_rb: int = 25
     n_rx: int = 2
+    channel: str = "Rayleigh1"    # PROFILES key: flat (default) or
+    #   frequency-selective EPA/EVA/ETU/SCM_C... drawn per (port, rx) via
+    #   ChannelModel(n_tx=2, n_rx) incl. R_sqrt antenna correlation
     n_pdcch_symbols: int = 1
     subframe: int = 7
     rnti: int = 0x1234
@@ -52,6 +56,8 @@ class DlsimTxDiv:
         self.fp = FrameParms(n_rb=cfg.n_rb, n_id_cell=cfg.n_id_cell)
         self.gm = make_grid_map(cfg.n_rb, cfg.n_pdcch_symbols,
                                 cfg.n_id_cell, cfg.subframe, nports=2)
+        self.chan = ChannelModel(name=cfg.channel, fp=self.fp,
+                                 n_tx=2, n_rx=cfg.n_rx)
         G = self.dlsch.cfg.G
         assert self.gm.n_data_re * self.dlsch.cfg.Qm == G
         # SFBC pairs must be frequency-adjacent: data REs are filled
@@ -80,15 +86,23 @@ class DlsimTxDiv:
         t0 = ofdm.ofdm_modulate(g0, self.fp)
         t1 = ofdm.ofdm_modulate(g1, self.fp)
 
-        # --- channel: flat Rayleigh [B, 2 ports, R rx], subframe-constant --
+        # --- channel [B, rx, port, taps], subframe-constant: flat
+        # Rayleigh (default) or a frequency-selective catalog profile
+        # applied per (port, rx) on the grid (exact under CP) ------------
         R = cfg.n_rx
-        hr = jax.vmap(lambda k: jax.random.normal(k, (2, R, 2)))(k_ch)
-        h = (hr[..., 0] + 1j * hr[..., 1]) / np.sqrt(2)      # [B, 2, R]
+        taps = self.chan.draw_taps(k_ch, B)                  # [B, R, 2, T]
+        Hf = self.chan.freq_response(taps)                   # [B, R, 2, nsc]
+        f0 = apply_channel_grid(
+            jnp.repeat(g0, R, axis=0),
+            Hf[:, :, 0].reshape(B * R, -1), self.fp)
+        f1 = apply_channel_grid(
+            jnp.repeat(g1, R, axis=0),
+            Hf[:, :, 1].reshape(B * R, -1), self.fp)
+        t_faded = ofdm.ofdm_modulate(f0 + f1, self.fp)       # [B*R, T]
         nr = jax.vmap(lambda k: jax.random.normal(
             k, (R,) + t0.shape[1:] + (2,)))(k_noise)
         noise = jnp.sqrt(n0 / 2) * (nr[..., 0] + 1j * nr[..., 1])
-        rx = (h[:, 0, :, None] * t0[:, None, :]
-              + h[:, 1, :, None] * t1[:, None, :]) + noise   # [B, R, T]
+        rx = t_faded.reshape(B, R, -1) + noise               # [B, R, T]
 
         # --- RX: per-antenna OFDM demod + per-port channel estimation ------
         rgrids = jax.vmap(lambda r: ofdm.ofdm_demodulate(r, self.fp),
@@ -98,9 +112,9 @@ class DlsimTxDiv:
             rg = rgrids[:, r]
             ys.append(extract_data_res(rg, self.gm))
             if cfg.perfect_ce:
-                n_re = self.gm.n_data_re
-                h0s.append(jnp.broadcast_to(h[:, 0, r, None], (B, n_re)))
-                h1s.append(jnp.broadcast_to(h[:, 1, r, None], (B, n_re)))
+                dc = jnp.asarray(self.gm.data_sc)
+                h0s.append(Hf[:, r, 0][:, dc])
+                h1s.append(Hf[:, r, 1][:, dc])
             else:
                 H0 = estimate_channel(rg, self.gm, wiener0, time_avg=True,
                                       port=0)

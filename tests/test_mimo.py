@@ -71,3 +71,14 @@ class TestTxDivSim:
                                           n_turbo_iter=6))
         e, t = sim.run_snr(4.0, 32)
         assert e / t <= 0.15
+
+
+def test_txdiv_frequency_selective_channels():
+    """TM2 SFBC over catalog channels (EVA selective, SCM_C correlated):
+    BASELINE config-3 machinery (10 MHz 2x2 TxDiv + estimation)."""
+    from openair4g_tpu.sim.dlsim_mimo import DlsimTxDiv, DlsimTxDivConfig
+    for chan in ("EVA", "SCM_C"):
+        sim = DlsimTxDiv(DlsimTxDivConfig(mcs=4, n_rb=6, batch=64,
+                                          channel=chan))
+        errs, trials = sim.run_snr(10.0, 64)
+        assert errs <= trials * 0.1, (chan, errs, trials)

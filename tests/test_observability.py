@@ -76,3 +76,58 @@ def test_calibrated_table_matches_full_phy():
             # of (bler - 0.5) must match the table's prediction
             assert (bler > 0.5) == (pred > 0.5) or abs(bler - pred) < 0.25, \
                 (mcs, probe, bler, pred)
+
+
+def test_msc_and_pcap_capture_attach():
+    """OPT/MSC parity: the attach ladder produces an mscgen chart and a
+    Wireshark-readable pcap of the NAS + user-plane PDUs."""
+    from openair4g_tpu.epc import Hss, Mme, SgwPgw, EnbApp, UeNas
+    from openair4g_tpu.rrc.enb import RrcEnb
+    from openair4g_tpu.rrc.ue import RrcUe
+    from openair4g_tpu.rrc.messages import Mib
+    from openair4g_tpu.utils.msc import Msc
+    from openair4g_tpu.utils.opt import PcapWriter, read_pcap, KIND_NAS, \
+        KIND_IP
+    import tempfile, os
+    hss = Hss(); hss.provision(42, bytes(16))
+    sgw = SgwPgw(); mme = Mme(hss, sgw)
+    msc = Msc()
+    path = os.path.join(tempfile.mkdtemp(), "attach.pcap")
+    pcap = PcapWriter(path)
+    app = EnbApp(mme, sgw, msc=msc, pcap=pcap)
+    enb, ue, nas = RrcEnb(), RrcUe(), UeNas(42, bytes(16))
+    ue.on_cell_found(0, Mib(bw_index=2))
+    ue.on_bcch(enb.sib1.pack()); ue.on_bcch(enb.sib2.pack())
+    crnti, msg4 = enb.handle_ccch(ue.connection_request())
+    enb.handle_dcch(crnti, ue.on_ccch(crnti, msg4))
+    app.initial_ue_message(crnti, nas.attach_request())
+    for _ in range(4):
+        for dl in app.poll_nas(crnti):
+            ul = nas.handle_downlink(dl)
+            if ul:
+                app.uplink_nas(crnti, ul)
+    app.uplink_user(crnti, b"payload")
+    app.poll_downlink_user()
+    pcap.close()
+
+    chart = msc.render_mscgen()
+    assert "InitialUEMessage(AttachRequest)" in chart
+    assert "InitialContextSetupRequest" in chart
+    assert "GTP-U G-PDU (UL)" in chart
+    assert msc.render_ascii()
+    recs = read_pcap(path)
+    kinds = [k for _, k, _, _, _ in recs]
+    assert KIND_NAS in kinds and KIND_IP in kinds
+    assert any(p == b"payload" for *_, p in recs)
+
+
+def test_central_logger_levels(capsys):
+    from openair4g_tpu.utils.log import LOG_I, LOG_E, set_comp_log
+    LOG_I("PHY", "hidden at default level")
+    LOG_E("PHY", "visible error %d", 7)
+    set_comp_log("PHY", "debug")
+    LOG_I("PHY", "now visible")
+    out = capsys.readouterr().out
+    assert "hidden" not in out
+    assert "[PHY][E] visible error 7" in out
+    assert "[PHY][I] now visible" in out
