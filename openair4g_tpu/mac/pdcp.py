@@ -33,6 +33,7 @@ class PdcpConfig:
     bearer: int = 1
     ciphering: str = "none"        # "none" (EEA0) | "xor" (sim stand-in)
     key: int = 0
+    rohc: bool = False             # ROHC-lite UDP/IP compression (mac/rohc)
 
 
 class PdcpEntity:
@@ -46,6 +47,10 @@ class PdcpEntity:
         self.rx_sn = -1            # last received SN
         self.rx_hfn = 0
         self.delivered: list[bytes] = []
+        if cfg.rohc:
+            from .rohc import RohcCompressor, RohcDecompressor
+            self._rohc_c = RohcCompressor()
+            self._rohc_d = RohcDecompressor()
 
     # ------------------------------------------------------------------ TX --
     def _count(self, hfn: int, sn: int) -> int:
@@ -59,6 +64,8 @@ class PdcpEntity:
         if self.tx_sn == 0:
             self.tx_hfn += 1
         body = sdu
+        if self.cfg.rohc:
+            body = self._rohc_c.compress(body)
         if self.cfg.ciphering == "xor":
             body = _xor(body, _keystream(self.cfg.key, count,
                                          self.cfg.bearer, len(body)))
@@ -88,5 +95,7 @@ class PdcpEntity:
         if self.cfg.ciphering == "xor":
             body = _xor(body, _keystream(self.cfg.key, count,
                                          self.cfg.bearer, len(body)))
+        if self.cfg.rohc:
+            body = self._rohc_d.decompress(body)
         self.delivered.append(body)
         return body
