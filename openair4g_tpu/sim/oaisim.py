@@ -96,8 +96,14 @@ class OaisimConfig:
     d_ref: float = 100.0             # distance with 0 dB pathloss
     cell_spacing: float = 500.0
     speed_mps: float = 1.0
-    traffic: str = "full"            # "full" | "onoff"
+    mobility: str = "rwalk"          # OMG model: "rwalk" | "rwp" (random
+    #   waypoint: pick a uniform destination, move at speed, repick on
+    #   arrival — openair2/UTIL/OMG parity) | "static"
+    traffic: str = "full"            # OTG model: "full" | "onoff" | "cbr"
+    #   (fixed-size packet every cbr_period_tti) | "poisson" (exponential
+    #   interarrival, mean 1/onoff_p per TTI) — openair2/UTIL/OTG parity
     onoff_p: float = 0.5
+    cbr_period_tti: int = 4
     mac: str = "rr"                  # "rr" round-robin | "pf" prop-fair
     ul_traffic: bool = False         # enable the uplink MAC pass
     ul_arrival_p: float = 0.1        # per-UE per-TTI UL arrival probability
@@ -128,6 +134,8 @@ class OaisimConfig:
             pathloss_exp=chan.get("pathloss_exponent", 3.5),
             traffic=app.get("traffic", "full"),
             onoff_p=app.get("onoff_p", 0.5),
+            cbr_period_tti=app.get("cbr_period_tti", 4),
+            mobility=topo.get("mobility", "rwalk"),
             mode=emu.get("mode", "abstraction"),
             esm=emu.get("esm", "eesm"),
             mac=emu.get("mac", "rr"),
@@ -288,10 +296,34 @@ class Oaisim:
         self.serving = np.argmax(self.p_rx, axis=1)              # [U]
 
     def _mobility_step(self):
-        """OMG random walk, one frame (10 ms)."""
-        step = self.cfg.speed_mps * 0.01
-        self.ue_xy += self.rng.normal(0, step, self.ue_xy.shape)
+        """OMG mobility, one frame (10 ms): random walk (default), random
+        waypoint, or static (openair2/UTIL/OMG model set)."""
+        cfg = self.cfg
+        step = cfg.speed_mps * 0.01
+        if cfg.mobility == "static":
+            return
+        if cfg.mobility == "rwp":
+            if not hasattr(self, "_wp"):
+                span = max(cfg.cell_spacing * cfg.n_enb, cfg.cell_spacing)
+                self._wp_box = (-cfg.cell_spacing / 2, span,
+                                -cfg.cell_spacing / 2, cfg.cell_spacing / 2)
+                self._wp = self._draw_waypoints()
+            d = self._wp - self.ue_xy
+            dist = np.linalg.norm(d, axis=1, keepdims=True)
+            arrived = dist[:, 0] < step
+            move = np.minimum(dist, step)
+            self.ue_xy += d / np.maximum(dist, 1e-9) * move
+            if arrived.any():
+                new_wp = self._draw_waypoints()
+                self._wp[arrived] = new_wp[arrived]
+        else:
+            self.ue_xy += self.rng.normal(0, step, self.ue_xy.shape)
         self._update_links()
+
+    def _draw_waypoints(self):
+        x0, x1, y0, y1 = self._wp_box
+        return np.stack([self.rng.uniform(x0, x1, self.cfg.n_ue),
+                         self.rng.uniform(y0, y1, self.cfg.n_ue)], axis=1)
 
     def _schedule(self, tti: int) -> np.ndarray:
         """MAC allocation: round-robin or proportional-fair (mac/scheduler).
@@ -300,6 +332,17 @@ class Oaisim:
         mask = np.zeros(cfg.n_ue, bool)
         if cfg.traffic == "onoff":
             active = self.rng.random(cfg.n_ue) < cfg.onoff_p
+        elif cfg.traffic == "cbr":
+            # constant bit rate: a packet becomes ready every period
+            active = (tti + np.arange(cfg.n_ue)) % cfg.cbr_period_tti == 0
+        elif cfg.traffic == "poisson":
+            if not hasattr(self, "_next_arrival"):
+                self._next_arrival = self.rng.exponential(
+                    1.0 / max(cfg.onoff_p, 1e-6), cfg.n_ue)
+            self._next_arrival -= 1.0
+            active = self._next_arrival <= 0
+            self._next_arrival[active] = self.rng.exponential(
+                1.0 / max(cfg.onoff_p, 1e-6), int(active.sum()))
         else:
             active = np.ones(cfg.n_ue, bool)
         if cfg.mac == "pf":

@@ -132,3 +132,21 @@ def test_scenario_config_runs():
     out2 = run_scenario(path, n_frames=2)
     os.unlink(path)
     assert out2["frames"] == 2
+
+
+def test_mobility_and_traffic_models():
+    """OMG random-waypoint + OTG cbr/poisson models drive the emulator."""
+    import numpy as np
+    from openair4g_tpu.sim.oaisim import Oaisim, OaisimConfig
+    sim = Oaisim(OaisimConfig(n_enb=2, n_ue=4, mobility="rwp",
+                              speed_mps=30.0, traffic="cbr", seed=3))
+    xy0 = sim.ue_xy.copy()
+    out = sim.run_frames(10)
+    moved = np.linalg.norm(sim.ue_xy - xy0, axis=1)
+    assert moved.mean() > 1.0              # 30 m/s for 0.1 s ~ 3 m
+    assert out["frames"] == 10
+    static = Oaisim(OaisimConfig(n_enb=1, n_ue=2, mobility="static",
+                                 traffic="poisson", seed=3))
+    xy0 = static.ue_xy.copy()
+    static.run_frames(5)
+    assert np.allclose(static.ue_xy, xy0)
