@@ -194,3 +194,29 @@ def estimate_channel(rgrid, gm: GridMap, wiener_stack,
             h_bar, (h_p.shape[0], fp.symbols_per_subframe, h_p.shape[-1]))
     Wt = jnp.asarray(_time_interp_weights(fp.n_rb, fp.normal_cp))
     return jnp.einsum("sp,bpk->bsk", Wt, h_p)              # [B, nsym, n_sc]
+
+
+def joint_err_var(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
+    """[n_sc] float32 posterior error variance of the joint estimator:
+    sigma_e^2(k) = prior_var - diag(W A^-1-form cross term). Feeding this
+    into the equalizer's noise term (n0_eff = (n0 + sigma_e^2)/|H|^2)
+    weights LLRs for the estimation error the reference's fixed ch_mag
+    scaling ignores — matters for 16/64QAM amplitude slicing."""
+    fp = gm.fp
+    _, pilot_sc, _, _ = _port_pilot_arrays(gm, port)
+    offs = tuple(int(pilot_sc[s, 0] % 6) for s in range(pilot_sc.shape[0]))
+    all_sc = np.concatenate([np.arange(off, fp.n_sc, 6) for off in offs])
+    d_sc = np.arange(fp.n_sc)
+    L = fp.cp + 2
+    taps = np.arange(L)
+    Fp = np.exp(-2j * np.pi * _signed_freq_idx(fp, all_sc)[:, None]
+                * taps[None, :] / fp.n_fft)
+    Fd = np.exp(-2j * np.pi * _signed_freq_idx(fp, d_sc)[:, None]
+                * taps[None, :] / fp.n_fft)
+    P = _delay_prior(fp)
+    A = (Fp * P) @ Fp.conj().T + n0 * np.eye(len(all_sc))
+    C = (Fd * P) @ Fp.conj().T          # [n_sc, Np]
+    W = C @ np.linalg.inv(A)
+    prior_var = float(np.sum(P))
+    post = prior_var - np.einsum("kp,kp->k", W, C.conj()).real
+    return np.maximum(post, 0.0).astype(np.float32)

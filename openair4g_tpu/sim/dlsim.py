@@ -27,7 +27,8 @@ from ..phy.pdsch import DlschConfig, DlschCodec
 from ..phy.resource_grid import make_grid_map, fill_grid, extract_data_res
 from ..phy import ofdm
 from ..phy.channel_est import (make_wiener_stack, estimate_channel,
-                                make_wiener_joint, estimate_channel_joint)
+                                make_wiener_joint, estimate_channel_joint,
+                                joint_err_var)
 from ..phy.equalize import mrc_equalize
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
@@ -212,6 +213,14 @@ class DlsimFading:
             return jnp.asarray(make_wiener_joint(self.gm, n0))
         return jnp.asarray(make_wiener_stack(self.gm, n0))
 
+    def err_var(self, snr_db: float):
+        """[n_data] per-RE estimation-error variance (0 for perfect CE /
+        interp mode, where the old behavior is preserved)."""
+        if self.cfg.perfect_ce or self.cfg.est_mode != "joint":
+            return jnp.zeros(len(self.gm.data_sc), jnp.float32)
+        ev = joint_err_var(self.gm, 10.0 ** (-snr_db / 10.0))
+        return jnp.asarray(ev[self.gm.data_sc])
+
     def _tx_encode(self, keys):
         """keys [B] -> (d_flats pytree, per-round (k_ch, k_noise) arrays)."""
         R = self.cfg.n_harq_rounds
@@ -237,7 +246,7 @@ class DlsimFading:
         data_sym = jnp.asarray(self.gm.data_sym)
         data_sc = jnp.asarray(self.gm.data_sc)
 
-        def f(d_flats, k_ch, k_noise, n0, wiener_stack,
+        def f(d_flats, k_ch, k_noise, n0, wiener_stack, ev,
               w_soft=None, taps_prev=None):
             B = k_ch.shape[0]
             e = codec.select_e(d_flats, rv)
@@ -272,19 +281,22 @@ class DlsimFading:
                 H_data = H_hat[:, data_sym, data_sc].reshape(B, A, -1)
             y = extract_data_res(rgrid, self.gm).reshape(B, A, -1)
             # MRC across RX antennas (dlsch_detection_mrc :2583); A=1
-            # degenerates to per-RE ZF.
+            # degenerates to per-RE ZF. The estimation-error variance adds
+            # to the per-RE noise (channel_est.joint_err_var).
             x_hat, n0_eff = mrc_equalize(
-                jnp.moveaxis(y, 1, -1), jnp.moveaxis(H_data, 1, -1), n0)
+                jnp.moveaxis(y, 1, -1), jnp.moveaxis(H_data, 1, -1),
+                n0 + ev)
             llr = demap_llr(x_hat, n0_eff, Qm).reshape(B, -1)
             llr = unscramble_llrs(llr, self.scr_seq)
             _, ok, w_soft_out = codec.decode(llr, w_soft=w_soft, rv=rv)
             return ok, w_soft_out, taps
 
         if first:
-            return jax.jit(lambda d, kc, kn, n0, W: f(d, kc, kn, n0, W))
+            return jax.jit(
+                lambda d, kc, kn, n0, W, ev: f(d, kc, kn, n0, W, ev))
         return jax.jit(
-            lambda d, kc, kn, n0, W, ws, tp: f(d, kc, kn, n0, W,
-                                               w_soft=ws, taps_prev=tp))
+            lambda d, kc, kn, n0, W, ev, ws, tp: f(d, kc, kn, n0, W, ev,
+                                                   w_soft=ws, taps_prev=tp))
 
     def _round(self, rnd: int):
         key = (rnd == 0, rnd & 3)   # _round_fn depends on rnd only via these
@@ -292,12 +304,14 @@ class DlsimFading:
             self._rounds[key] = self._round_fn(rnd)
         return self._rounds[key]
 
-    def _step(self, keys, n0, W):
+    def _step(self, keys, n0, W, ev=None):
         """One batched trial across all HARQ rounds (host-side round loop
         over per-round device programs; carries stay on device). Stage
         timings feed utils/profiler (the reference's time_meas wrapping of
         every stage, dlsim.c:3266+)."""
         import time as _time
+        if ev is None:
+            ev = jnp.zeros(len(self.gm.data_sc), jnp.float32)
         t0 = _time.perf_counter()
         d_flats, k_ch, k_noise = self._tx(keys)
         profiler.stop_meas("dlsim.tx_encode", t0, d_flats)
@@ -309,12 +323,13 @@ class DlsimFading:
             fn = self._round(rnd)
             t0 = _time.perf_counter()
             if rnd == 0:
-                ok, w_soft, taps = fn(d_flats, k_ch[0], k_noise[0], n0, W)
+                ok, w_soft, taps = fn(d_flats, k_ch[0], k_noise[0], n0, W,
+                                      ev)
                 ok_any = np.asarray(ok)
                 reached = np.ones_like(ok_any)
             else:
                 ok, w_soft, taps = fn(d_flats, k_ch[rnd], k_noise[rnd],
-                                      n0, W, w_soft, taps)
+                                      n0, W, ev, w_soft, taps)
                 ok_any = ok_any | np.asarray(ok)
             profiler.stop_meas(f"dlsim.round{rnd}(chan+rx+decode)", t0)
             err_r = reached & ~ok_any
@@ -329,12 +344,13 @@ class DlsimFading:
             snr_db = snr_db + dlsim_snr_offset_db(self.gm)
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
         W = self.wiener(snr_db)
+        ev = self.err_var(snr_db)
         R = self.cfg.n_harq_rounds
         errs = np.zeros(R, np.int64)
         reach = np.zeros(R, np.int64)
         for i in range(-(-n_frames // self.cfg.batch)):
             keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=i))
-            e, t = self._step(keys, n0, W)
+            e, t = self._step(keys, n0, W, ev)
             errs += np.asarray(e, np.int64)
             reach += np.asarray(t, np.int64)
         return errs, reach
@@ -350,10 +366,11 @@ class DlsimFading:
             n0 = jnp.float32(10.0 ** (-float(snrs[0]) / 10.0))
             W = self.wiener(float(snrs[0]))
             keys = jnp.asarray(host_keys(seed, self.cfg.batch, stream=0))
-            self._step(keys, n0, W)            # compile outside the trace
+            ev = self.err_var(float(snrs[0]))
+            self._step(keys, n0, W, ev)        # compile outside the trace
             with trace(trace_dir):
                 with annotate("dlsim.step"):
-                    self._step(keys, n0, W)
+                    self._step(keys, n0, W, ev)
         rows = []
         for s in snrs:
             errs, reach = self.run_snr(float(s), n_frames, seed)
