@@ -103,3 +103,78 @@ def calibrate_bler_table(sim, snrs, n_frames: int, seed: int = 0
         rows.append((float(s), e / max(t, 1)))
     arr = np.asarray(rows)
     return BlerTable(arr[:, 0], arr[:, 1])
+
+
+def calibrate_eesm_beta(mcs: int, channel: str = "EVA", n_rb: int = 6,
+                        snrs=None, n_frames: int = 256,
+                        betas=None, seed: int = 0, n_realizations: int = 2048,
+                        awgn_table: "BlerTable | None" = None) -> dict:
+    """Per-(MCS, channel) EESM beta calibration — the counterpart of the
+    reference's beta1_dlsch/beta2_dlsch tables (dlsch_decoding.c:543-553),
+    regenerated from THIS framework's own link-level sims instead of
+    copying the reference's calibration data.
+
+    Method: (1) measure fading BLER with the bit-level sim at `snrs`;
+    (2) for each candidate beta, predict the fading BLER as the ensemble
+    average of AWGN-table lookups at EESM-effective SINRs over fresh
+    channel realizations; (3) pick the beta minimizing the squared
+    log-BLER error. Returns dict(beta, measured, predicted, betas, errs).
+    """
+    import numpy as np
+    import jax
+    from ..config import FrameParms
+    from ..tables.tbs import get_Qm
+    from .dlsim import DlsimFading, DlsimFadingConfig
+    from .channels import ChannelModel
+    from .oaisim import calibrated_bler_table
+
+    qm = get_Qm(mcs)
+    if betas is None:
+        betas = {2: (0.6, 1.0, 1.6, 2.5, 4.0),
+                 4: (2.0, 3.5, 5.0, 7.0, 10.0),
+                 6: (8.0, 12.0, 18.0, 27.0, 40.0)}[qm]
+    table = awgn_table or calibrated_bler_table(
+        mcs, n_rb=n_rb, n_frames=n_frames)
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=mcs, n_rb=n_rb, channel=channel, n_harq_rounds=1,
+        batch=min(n_frames, 128), perfect_ce=True))
+    if snrs is None:
+        knee = float(np.interp(np.log(0.5), table.log_bler[::-1],
+                               table.snr_db[::-1]))
+        snrs = (knee, knee + 1.5, knee + 3.0)
+    measured = []
+    for s in snrs:
+        e, r = sim.run_snr(float(s), n_frames, seed)
+        measured.append(e[0] / max(r[0], 1))
+    # channel realizations -> per-subcarrier SINR ensembles
+    fp = FrameParms(n_rb=n_rb)
+    cm = ChannelModel(name=channel, fp=fp)
+    H = cm.freq_response(cm.draw_taps(
+        jax.random.PRNGKey(seed + 1), n_realizations))
+    g = np.asarray(jnp.abs(H) ** 2)                     # [R, n_sc]
+    errs = []
+    for beta in betas:
+        pred_err = 0.0
+        for s, m in zip(snrs, measured):
+            snr_lin = 10.0 ** (float(s) / 10.0)
+            eff = np.asarray(eesm(jnp.asarray(g * snr_lin), float(beta)))
+            pred = float(np.mean(np.exp(np.interp(
+                10 * np.log10(np.maximum(eff, 1e-30)),
+                table.snr_db, table.log_bler,
+                left=0.0, right=table.log_bler[-1]))))
+            pred_err += (np.log(max(pred, 1e-4))
+                         - np.log(max(m, 1e-4))) ** 2
+        errs.append(pred_err)
+    best = int(np.argmin(errs))
+    if best == len(betas) - 1:        # grid edge: extend geometrically once
+        extra = [betas[-1] * r for r in (1.6, 2.6, 4.2)]
+        more = calibrate_eesm_beta(mcs, channel, n_rb, snrs, n_frames,
+                                   betas=tuple(extra), seed=seed,
+                                   n_realizations=n_realizations,
+                                   awgn_table=table)
+        if min(more["errs"]) < errs[best]:
+            return more
+    return dict(beta=float(betas[best]), betas=list(betas),
+                errs=[float(e) for e in errs],
+                measured=[float(m) for m in measured],
+                snrs=[float(s) for s in snrs])

@@ -84,3 +84,15 @@ class TestEsm:
         errs = np.asarray(draw_block_errors(
             key, jnp.full(4000, 0.3))).mean()
         assert abs(errs - 0.3) < 0.03
+
+
+def test_calibrate_eesm_beta_machinery():
+    """Beta calibration (the reference's beta1/beta2_dlsch regeneration):
+    returns a finite beta whose EESM prediction tracks the measured
+    fading BLER better than the worst candidate."""
+    from openair4g_tpu.sim.abstraction import calibrate_eesm_beta
+    out = calibrate_eesm_beta(4, channel="EVA", n_rb=6, n_frames=64,
+                              n_realizations=512)
+    assert out["beta"] > 0
+    assert min(out["errs"]) < max(out["errs"])
+    assert all(0 <= m <= 1 for m in out["measured"])
