@@ -10,8 +10,15 @@ Usage:  python scripts/fading_campaign.py [n_trials] [out.json]
 Runs on whatever backend JAX selects (the real TPU chip under axon).
 """
 import json
+import os
 import sys
 import time
+
+# Make the repo importable WITHOUT PYTHONPATH: setting PYTHONPATH=/root/repo
+# breaks the axon TPU plugin registration (a repo name shadows a module the
+# plugin imports during jax backend discovery). Appending at the END of
+# sys.path after jax is importable is safe.
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -16,3 +16,29 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Heaviest Monte-Carlo variants (>12s each on CPU, ~6 min total): marked slow
+# so the default run (`pytest tests/ -x -q`, pytest.ini deselects them)
+# finishes well inside a 10-min budget while still covering every feature
+# with a faster sibling test. `pytest tests/ -m slow` runs just these;
+# `-m ""` runs everything.
+_SLOW = {
+    "test_observability.py::test_calibrated_table_matches_full_phy",
+    "test_tddsim.py::test_tdd_bler_point_low_snr",
+    "test_tddsim.py::test_tdd_config2_dl_heavy",
+    "test_bler_anchor.py::test_etu_harq_gain_ordering",
+    "test_measurements_abstraction.py::test_calibrate_eesm_beta_machinery",
+    "test_ulsim.py::test_ulsim_harq_gain",
+    "test_fullsim.py::test_fullsim_harq_gain_fading",
+    "test_si_rar_1c.py::test_rar_and_sib_via_dci_1c[2]",
+    "test_sched_ul.py::test_ul_grant_harq_recovers_marginal_snr",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SLOW:
+            item.add_marker(pytest.mark.slow)
