@@ -9,10 +9,15 @@ bit-selection pipeline is data-independent given (K, F, rv, E, Ncb), so it is
 precomputed on the host as index maps once per configuration:
 
   * TX: one gather  e = d_flat[e_src]            (E indices into the 3 streams)
-  * RX: one scatter-add  w.at[e_to_w].add(llr)   (repetition bits combine,
-    and HARQ rounds accumulate into the same persistent w buffer — the
-    reference's harq_process->w soft combining, dlsch_decoding.c:350)
-  * w -> d streams: one gather via w_of_d
+  * RX: NO scatter. The circular buffer emits the L non-NULL positions of w
+    cyclically, so the E received LLRs fold onto a length-L "order space"
+    buffer by a zero-pad + [reps, L] reshape + sum (repetition combining),
+    followed by a static roll of r_off (the rv-dependent start k0 is just a
+    rotation of the same non-NULL sequence). HARQ rounds accumulate into that
+    persistent order-space buffer (the reference's harq_process->w soft
+    combining, dlsch_decoding.c:350) — all reshapes/rolls, which cost ~nothing
+    on TPU, instead of a scatter-add which costs milliseconds.
+  * order space -> d streams: one static gather (d_from_order).
 
 NULL positions (dummy padding + filler bits in streams 0/1) are never indexed.
 """
@@ -97,10 +102,14 @@ class RateMatchMaps:
     E: int
     Ncb: int
     Kw: int                 # 3 * Kpi = full circular buffer length
+    L: int                  # non-NULL positions within Ncb (order-space size)
+    r_off: int              # this rv's rotation within the base emit order
     e_to_w: np.ndarray      # [E] int32: w position of each transmitted bit
     e_src: np.ndarray       # [E] int32: index into d_flat [3*(K+4)] (TX gather)
     w_of_d: np.ndarray      # [3*(K+4)] int32: w position of each d bit, -1 if
                             # that d position is never in w (fillers/nulls)
+    d_from_order: np.ndarray  # [3*(K+4)] int32: order-space index of each d
+                              # bit, -1 if never transmitted (fillers/Ncb cap)
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,8 +135,18 @@ def make_rate_match_maps(K: int, F: int, rv: int, E: int,
     w_of_d = np.full(3 * D, -1, np.int32)
     nonnull = w_src >= 0
     w_of_d[w_src[nonnull]] = np.nonzero(nonnull)[0].astype(np.int32)
-    return RateMatchMaps(K=K, F=F, rv=rv, E=E, Ncb=Ncb, Kw=Kw,
-                         e_to_w=e_to_w, e_src=e_src, w_of_d=w_of_d)
+
+    # Base (rv-independent) emit order = non-NULL positions of [0, Ncb) in
+    # increasing w order; every rv's order is that sequence rotated by r_off.
+    order_base = np.nonzero(w_src[:Ncb] >= 0)[0]
+    L = len(order_base)
+    r_off = int(np.searchsorted(order_base, k0 % Ncb))
+    # order-space index of each d position (inverse of d = w_src[order_base])
+    d_from_order = np.full(3 * D, -1, np.int32)
+    d_from_order[w_src[order_base]] = np.arange(L, dtype=np.int32)
+    return RateMatchMaps(K=K, F=F, rv=rv, E=E, Ncb=Ncb, Kw=Kw, L=L,
+                         r_off=r_off, e_to_w=e_to_w, e_src=e_src,
+                         w_of_d=w_of_d, d_from_order=d_from_order)
 
 
 @dataclass(frozen=True)
@@ -136,9 +155,11 @@ class CCRateMatchMaps:
     D: int
     E: int
     Kw: int
+    L: int                  # non-NULL circular-buffer length
     e_src: np.ndarray       # [E] int32 into d_flat [3*D] (TX gather)
-    e_to_w: np.ndarray      # [E] int32 w position (RX scatter-add)
+    e_to_w: np.ndarray      # [E] int32 w position (kept for goldens)
     w_of_d: np.ndarray      # [3*D] int32 w position of each d bit
+    d_from_order: np.ndarray  # [3*D] int32 order-space index of each d bit
 
 
 @functools.lru_cache(maxsize=None)
@@ -169,8 +190,13 @@ def make_cc_rate_match_maps(D: int, E: int) -> CCRateMatchMaps:
     w_of_d = np.full(3 * D, -1, np.int32)
     nonnull = w_src >= 0
     w_of_d[w_src[nonnull]] = np.nonzero(nonnull)[0].astype(np.int32)
-    return CCRateMatchMaps(D=D, E=E, Kw=Kw, e_src=e_src, e_to_w=e_to_w,
-                           w_of_d=w_of_d)
+
+    order_base = np.nonzero(w_src >= 0)[0]        # k0 = 0 for CC channels
+    L = len(order_base)
+    d_from_order = np.full(3 * D, -1, np.int32)
+    d_from_order[w_src[order_base]] = np.arange(L, dtype=np.int32)
+    return CCRateMatchMaps(D=D, E=E, Kw=Kw, L=L, e_src=e_src, e_to_w=e_to_w,
+                           w_of_d=w_of_d, d_from_order=d_from_order)
 
 
 def cc_rate_match_tx(d_flat, maps: CCRateMatchMaps):
@@ -180,14 +206,23 @@ def cc_rate_match_tx(d_flat, maps: CCRateMatchMaps):
 
 
 def cc_rate_match_rx(e_llr, maps: CCRateMatchMaps):
-    """e_llr [B, E] -> d stream LLRs [B, 3, D] (repetition soft-combined)."""
+    """e_llr [B, E] -> d stream LLRs [B, 3, D] (repetition soft-combined).
+
+    Scatter-free: zero-pad to reps*L + reshape-sum folds repetitions (PBCH
+    repeats the 120-bit buffer 16x), then one static gather back to d order.
+    """
     import jax.numpy as jnp
-    B = e_llr.shape[0]
-    w = jnp.zeros((B, maps.Kw), e_llr.dtype)
-    w = w.at[:, jnp.asarray(maps.e_to_w)].add(e_llr)
-    idx = jnp.asarray(np.where(maps.w_of_d >= 0, maps.w_of_d, 0))
-    mask = jnp.asarray((maps.w_of_d >= 0).astype(np.float32))
-    return (w[:, idx] * mask).reshape(B, 3, maps.D)
+    B, E = e_llr.shape
+    L = maps.L
+    reps = -(-E // L)
+    if reps * L != E:
+        e_llr = jnp.concatenate(
+            [e_llr, jnp.zeros((B, reps * L - E), e_llr.dtype)], axis=1)
+    folded = e_llr.reshape(B, reps, L).sum(axis=1) if reps > 1 \
+        else e_llr.reshape(B, L)
+    idx = jnp.asarray(np.where(maps.d_from_order >= 0, maps.d_from_order, 0))
+    mask = jnp.asarray((maps.d_from_order >= 0).astype(np.float32))
+    return (folded[:, idx] * mask).reshape(B, 3, maps.D)
 
 
 def rate_match_tx(d_flat, maps: RateMatchMaps):
@@ -197,29 +232,37 @@ def rate_match_tx(d_flat, maps: RateMatchMaps):
 
 
 def rate_match_rx(e_llr, maps: RateMatchMaps, w_soft=None):
-    """e_llr [B, E] -> (w_soft [B, Kw]).
+    """e_llr [B, E] -> order-space soft buffer [B, L].
 
-    Scatter-add into the circular buffer: repeated bits combine, and passing a
-    previous round's `w_soft` implements HARQ soft combining.
+    No scatter: repetition combining is a zero-pad to reps*L + [B, reps, L]
+    reshape + sum, and the rv-dependent circular-buffer start k0 is a static
+    roll by r_off. Passing a previous round's `w_soft` (any rv) implements
+    HARQ soft combining — all rounds share the same base order space.
     """
     import jax.numpy as jnp
-    B = e_llr.shape[0]
-    if w_soft is None:
-        w_soft = jnp.zeros((B, maps.Kw), e_llr.dtype)
-    return w_soft.at[:, jnp.asarray(maps.e_to_w)].add(e_llr)
+    B, E = e_llr.shape
+    L = maps.L
+    reps = -(-E // L)
+    if reps * L != E:
+        e_llr = jnp.concatenate(
+            [e_llr, jnp.zeros((B, reps * L - E), e_llr.dtype)], axis=1)
+    folded = e_llr.reshape(B, reps, L).sum(axis=1) if reps > 1 \
+        else e_llr.reshape(B, L)
+    contrib = jnp.roll(folded, maps.r_off, axis=1)
+    return contrib if w_soft is None else w_soft + contrib
 
 
 def w_to_d_llr(w_soft, maps: RateMatchMaps, filler_big: float = 1e4):
-    """w_soft [B, Kw] -> d stream LLRs [B, 3, K+4].
+    """order-space w_soft [B, L] -> d stream LLRs [B, 3, K+4].
 
-    Filler positions (known zero bits, streams 0/1) get +filler_big.
-    d positions that never entered w keep LLR 0 (should not happen for data).
+    One static gather. Filler positions (known zero bits, streams 0/1) get
+    +filler_big; d positions never transmitted (NULLs / Ncb cap) keep LLR 0.
     """
     import jax.numpy as jnp
     D = maps.K + 4
-    idx = jnp.asarray(np.where(maps.w_of_d >= 0, maps.w_of_d, 0))
+    idx = jnp.asarray(np.where(maps.d_from_order >= 0, maps.d_from_order, 0))
     vals = w_soft[:, idx]
-    mask = jnp.asarray((maps.w_of_d >= 0).astype(np.float32))
+    mask = jnp.asarray((maps.d_from_order >= 0).astype(np.float32))
     d_llr = (vals * mask).reshape(-1, 3, D)
     if maps.F:
         # fillers: first F systematic (stream 0) bits are known zeros

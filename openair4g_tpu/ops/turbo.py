@@ -129,10 +129,53 @@ def turbo_encode_host(bits: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device encoder: one GF(2) Toeplitz matmul on the MXU
+# Device encoder: stride-7 prefix-XOR (the RSC is an LFSR with primitive
+# feedback 1+D^2+D^3, so its impulse response is PERIODIC with period 2^3-1=7
+# after t=0: h = [1; (1,1,1,0,0,1,0) repeating]. The GF(2) Toeplitz matmul
+# therefore collapses to four shifted copies of a period-7 prefix-XOR —
+# O(K) work per block via one reshape + cumsum, with no [K, 2K] generator
+# constant (which at K=6144 was a 151 MB literal per compiled program).
 # ---------------------------------------------------------------------------
 
+# h[d] = 1 for d >= 1 iff d mod 7 in {1,2,3,6}; h[0] = 1.
+_H_SHIFTS = (1, 2, 3, 6)
+# state-bit impulse responses (periodic from d=1, no transient):
+# bit b of state-after-d-steps is 1 iff d mod 7 in _STATE_RES[b]
+_STATE_RES = {4: (1, 3, 4, 5), 2: (2, 4, 5, 6), 1: (0, 3, 5, 6)}
 
+
+def _rsc_encode_scan(bits):
+    """bits [B, K] int32 {0,1} -> (z [B, K] parity, s [B] final state).
+
+    P[k] = XOR of bits[k], bits[k-7], bits[k-14], ... (stride-7 prefix sums,
+    computed as a [B, M, 7] cumsum); then
+      z[t] = u[t] ^ P[t-1] ^ P[t-2] ^ P[t-3] ^ P[t-6]
+    and the final state bits are parity-selected residue-class totals T[c].
+    """
+    B, K = bits.shape
+    M = -(-K // 7)
+    pad = jnp.zeros((B, M * 7 - K), bits.dtype)
+    u = jnp.concatenate([bits, pad], axis=1)
+    Pc = jnp.cumsum(u.reshape(B, M, 7), axis=1)        # [B, M, 7]
+    P = jnp.mod(Pc.reshape(B, M * 7)[:, :K], 2)
+    z = bits
+    zero = jnp.zeros((B, 1), P.dtype)
+    for r in _H_SHIFTS:
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(zero, (B, r)), P[:, :K - r]], axis=1)
+        z = z + shifted
+    z = jnp.mod(z, 2)
+    # residue-class totals: T[c] = XOR of bits over indices == c (mod 7)
+    Pm = jnp.mod(Pc[:, M - 1, :], 2)                   # [B, 7]
+    s = jnp.zeros((B,), jnp.int32)
+    for val, residues in _STATE_RES.items():
+        sel = np.zeros(7, np.int32)
+        for c in range(7):
+            if (K - c) % 7 in residues:
+                sel[c] = 1
+        bit = jnp.mod(jnp.sum(Pm * jnp.asarray(sel)[None, :], axis=1), 2)
+        s = s + val * bit.astype(jnp.int32)
+    return z.astype(jnp.int32), s
 
 
 @functools.lru_cache(maxsize=None)
@@ -150,57 +193,6 @@ def _tail_tables():
     return tx, tz
 
 
-@functools.lru_cache(maxsize=None)
-def _rsc_impulse(K: int):
-    """Impulse responses of the RSC: parity h [K] and state-after-d-steps
-    st [K+1] for a single 1 at t=0 (the encoder is LTI over GF(2), so the
-    full encode is a Toeplitz GF(2) matmul — MXU work, not a scan)."""
-    h = np.zeros(K, np.int8)
-    st = np.zeros(K + 1, np.int8)
-    s = 0
-    for t in range(K):
-        u = 1 if t == 0 else 0
-        r1, r2, r3 = (s >> 2) & 1, (s >> 1) & 1, s & 1
-        a = u ^ r2 ^ r3
-        h[t] = a ^ r1 ^ r3
-        s = a * 4 + r1 * 2 + r2
-        st[t + 1] = s
-    return h, st
-
-
-@functools.lru_cache(maxsize=None)
-def _encoder_matrix(K: int) -> np.ndarray:
-    """[K, 2K+6] bf16 GF(2) generator: columns = [z1 (K) | s1-bits (3) |
-    z2 (K) | s2-bits (3)] for both constituent encoders (encoder 2 folds
-    the QPP permutation into its rows)."""
-    h, st = _rsc_impulse(K)
-    i = np.arange(K)
-    d = i[None, :] - i[:, None]                       # output - input pos
-    Mz = np.where(d >= 0, h[np.clip(d, 0, K - 1)], 0).astype(np.int8)
-    sf = st[K - i]                                    # final state of impulse
-    S = np.stack([(sf >> 2) & 1, (sf >> 1) & 1, sf & 1], 1).astype(np.int8)
-    pi = qpp_interleaver(K)
-    inv = np.empty(K, np.int64)
-    inv[pi] = np.arange(K)
-    A = np.concatenate([Mz, S, Mz[inv], S[inv]], axis=1)
-    import ml_dtypes
-    return A.astype(ml_dtypes.bfloat16)
-
-
-def _rsc_outputs_matmul(bits, K: int):
-    """bits [B, K] -> (z1 [B,K], s1 [B], z2 [B,K], s2 [B]) via one MXU
-    GF(2) matmul (f32 accumulation is exact: sums <= K < 2^24)."""
-    A = jnp.asarray(_encoder_matrix(K))
-    y = jnp.dot(bits.astype(jnp.bfloat16), A,
-                preferred_element_type=jnp.float32)
-    y = jnp.mod(jnp.round(y), 2.0).astype(jnp.int32)
-    z1 = y[:, :K]
-    s1 = y[:, K] * 4 + y[:, K + 1] * 2 + y[:, K + 2]
-    z2 = y[:, K + 3:2 * K + 3]
-    s2 = y[:, 2 * K + 3] * 4 + y[:, 2 * K + 4] * 2 + y[:, 2 * K + 5]
-    return z1, s1, z2, s2
-
-
 def _tails(bits_or_state):
     tx, tz = _tail_tables()
     return jnp.asarray(tx)[bits_or_state], jnp.asarray(tz)[bits_or_state]
@@ -209,18 +201,22 @@ def _tails(bits_or_state):
 def turbo_encode_device(bits, pi: np.ndarray):
     """bits [B, K] int32 -> d [B, 3, K+4]. `pi` = qpp_interleaver(K) (static).
 
-    TPU-native: both constituent RSC encoders are one [B,K]x[K,2K+6] GF(2)
-    matmul on the MXU (the encoder is linear and time-invariant); only the
-    3-step trellis termination needs the tiny tail LUTs.
+    TPU-native: the RSC constituent encoders are LTI over GF(2) with a
+    period-7 impulse response, so both parity streams are stride-7
+    prefix-XORs (one cumsum each, `_rsc_encode_scan`) — O(K) work and no
+    large generator constants; only the 3-step trellis termination needs
+    the tiny tail LUTs.
     """
     B, K = bits.shape
     pi = jnp.asarray(pi)
-    z1f, s1, z2f, s2 = _rsc_outputs_matmul(bits, K)
+    bits2 = bits[:, pi]
+    z1f, s1 = _rsc_encode_scan(bits)
+    z2f, s2 = _rsc_encode_scan(bits2)
     tx1, tz1 = _tails(s1)
     tx2, tz2 = _tails(s2)
     x1 = jnp.concatenate([bits, tx1], axis=1)
     z1 = jnp.concatenate([z1f, tz1], axis=1)
-    x2 = jnp.concatenate([bits[:, pi], tx2], axis=1)
+    x2 = jnp.concatenate([bits2, tx2], axis=1)
     z2 = jnp.concatenate([z2f, tz2], axis=1)
     d0 = jnp.concatenate([x1[:, :K], x1[:, K:K+1], z1[:, K+1:K+2],
                           x2[:, K:K+1], z2[:, K+1:K+2]], axis=1)
@@ -265,17 +261,21 @@ def _frame_bwd(g, W: int, U: int, pad_val: float):
     return jnp.concatenate([main, tail], axis=2)
 
 
-@functools.lru_cache(maxsize=None)
-def _perm_matrix(K: int, inverse: bool) -> np.ndarray:
-    """[K, K] fp32 one-hot matrix realizing x[:, pi] (or the inverse) as an
-    MXU matmul — exact (single-term sums) and ~10x faster than a gather."""
-    pi = qpp_interleaver(K)
-    E = np.zeros((K, K), np.float32)
+def _perm_onehot_device(K: int, inverse: bool):
+    """[K, K] bf16 one-hot matrix realizing x[:, pi] (or the inverse) as an
+    MXU matmul — built IN-TRACE from iota (pi = (f1*j + f2*j^2) mod K fits
+    int32 when reduced termwise), so the compiled program carries no [K, K]
+    literal (at K=6144 the host-built fp32 matrix was a 151 MB upload per
+    program — the remote compile service rejects that)."""
+    f1, f2 = QPP_BY_K[K]
+    j = jnp.arange(K, dtype=jnp.int32)
+    pi = ((f1 % K) * j % K + (f2 % K) * ((j * j) % K) % K) % K
+    i = j[:, None]
     if inverse:
-        E[np.arange(K), pi] = 1.0      # y[:, pi[j]] = x[:, j]
-    else:
-        E[pi, np.arange(K)] = 1.0      # y[:, j] = x[:, pi[j]]
-    return E
+        # y[:, pi[j]] = x[:, j]  =>  E[k, i] = 1 iff pi[k] == i
+        return (pi[:, None] == j[None, :]).astype(jnp.bfloat16)
+    # y[:, j] = x[:, pi[j]]  =>  E[i, j] = 1 iff i == pi[j]
+    return (i == pi[None, :]).astype(jnp.bfloat16)
 
 
 def _permute(x, K: int, inverse: bool):
@@ -288,7 +288,9 @@ def _permute(x, K: int, inverse: bool):
         else:
             idx = pi
         return x[:, jnp.asarray(idx)]
-    return jnp.dot(x, jnp.asarray(_perm_matrix(K, inverse)),
+    # bf16 operand precision is plenty for extrinsic LLRs (the reference
+    # decodes with int8 LLRs); single-term one-hot sums are exact in any case.
+    return jnp.dot(x.astype(jnp.bfloat16), _perm_onehot_device(K, inverse),
                    preferred_element_type=jnp.float32)
 
 

@@ -421,7 +421,7 @@ class Oaisim:
         U, E = cfg.n_ue, cfg.n_enb
         self._phy_tb = jnp.zeros((E, self.tbs), jnp.int32)
         self._phy_wsoft = [
-            [jnp.zeros((U, m.Kw), jnp.float32) for m in self.codec.maps]
+            [jnp.zeros((U, m.L), jnp.float32) for m in self.codec.maps]
             for _ in range(E)]
         self._phy_bound = np.full(E, -1, np.int32)
         self._phy_round = np.zeros(E, np.int32)

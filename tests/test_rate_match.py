@@ -55,6 +55,57 @@ def test_harq_combining_accumulates():
     assert float(np.asarray(w01).sum()) == pytest.approx(2 * E)
 
 
+@pytest.mark.parametrize("rv,ncb_cap", [(0, None), (2, None), (1, True),
+                                        (3, True)])
+def test_fold_path_matches_scatter_oracle(rv, ncb_cap):
+    """The reshape-sum+roll dematch must equal the literal scatter-add into
+    the w circular buffer (the reference's lte_rate_matching_turbo_rx walk),
+    including with an Ncb-capped soft buffer and bit repetition."""
+    K, F = 136, 4
+    Ncb = 256 if ncb_cap else None          # cap < Kw=420 exercises the limit
+    E = 700                                  # > L: repetition wraps
+    maps = rm.make_rate_match_maps(K, F, rv, E, Ncb)
+    rng = np.random.default_rng(7 + rv)
+    llr = rng.normal(size=(3, E)).astype(np.float32)
+
+    got = np.asarray(rm.w_to_d_llr(
+        rm.rate_match_rx(jnp.asarray(llr), maps), maps, filler_big=0.0))
+
+    # oracle: scatter-add via e_to_w, then read back via w_of_d
+    w = np.zeros((3, maps.Kw), np.float32)
+    for b in range(3):
+        np.add.at(w[b], maps.e_to_w, llr[b])
+    D = K + 4
+    oracle = np.zeros((3, 3 * D), np.float32)
+    sel = maps.w_of_d >= 0
+    # positions beyond Ncb never receive LLRs; w stays 0 there, matching
+    # the fold path's -1 mask
+    oracle[:, sel] = w[:, maps.w_of_d[sel]]
+    np.testing.assert_allclose(got.reshape(3, 3 * D), oracle, atol=1e-5)
+
+
+def test_harq_combining_across_rv_fold():
+    """Rounds with different rv accumulate in the shared order space."""
+    K, E = 136, 300
+    m0 = rm.make_rate_match_maps(K, 0, 0, E)
+    m2 = rm.make_rate_match_maps(K, 0, 2, E)
+    rng = np.random.default_rng(3)
+    l0 = rng.normal(size=(1, E)).astype(np.float32)
+    l2 = rng.normal(size=(1, E)).astype(np.float32)
+    w = rm.rate_match_rx(jnp.asarray(l2), m2,
+                         w_soft=rm.rate_match_rx(jnp.asarray(l0), m0))
+    got = np.asarray(rm.w_to_d_llr(w, m0, filler_big=0.0))
+
+    wbuf = np.zeros(m0.Kw, np.float32)
+    np.add.at(wbuf, m0.e_to_w, l0[0])
+    np.add.at(wbuf, m2.e_to_w, l2[0])
+    D = K + 4
+    oracle = np.zeros(3 * D, np.float32)
+    sel = m0.w_of_d >= 0
+    oracle[sel] = wbuf[m0.w_of_d[sel]]
+    np.testing.assert_allclose(got.reshape(3 * D), oracle, atol=1e-5)
+
+
 def test_k0_rv_offsets_differ():
     K, E = 104, 200
     starts = [rm.make_rate_match_maps(K, 0, rv, E).e_to_w[0] for rv in range(4)]

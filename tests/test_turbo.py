@@ -20,7 +20,7 @@ def test_qpp_bijection():
         assert len(set(pi.tolist())) == K
 
 
-@pytest.mark.parametrize("K", [40, 104, 512])
+@pytest.mark.parametrize("K", [40, 104, 512, 6144])
 def test_device_encoder_matches_host(K):
     rng = np.random.default_rng(1)
     bits = rng.integers(0, 2, (4, K)).astype(np.int32)
