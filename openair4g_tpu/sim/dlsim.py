@@ -29,9 +29,9 @@ from ..phy import ofdm
 from ..phy.channel_est import (make_wiener_stack, estimate_channel,
                                 make_wiener_joint, estimate_channel_joint,
                                 joint_err_var)
-from ..phy.equalize import mrc_equalize
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
+from ..ops.equalize_llr import mrc_llr
 from ..utils.rng import host_keys
 from ..utils import profiler
 from .channels import ChannelModel, apply_channel_grid, harq_forgetting_factor
@@ -282,11 +282,12 @@ class DlsimFading:
             y = extract_data_res(rgrid, self.gm).reshape(B, A, -1)
             # MRC across RX antennas (dlsch_detection_mrc :2583); A=1
             # degenerates to per-RE ZF. The estimation-error variance adds
-            # to the per-RE noise (channel_est.joint_err_var).
-            x_hat, n0_eff = mrc_equalize(
-                jnp.moveaxis(y, 1, -1), jnp.moveaxis(H_data, 1, -1),
-                n0 + ev)
-            llr = demap_llr(x_hat, n0_eff, Qm).reshape(B, -1)
+            # to the per-RE noise (channel_est.joint_err_var). Compensation,
+            # equalization and demap run as ONE fused Pallas VMEM pass on
+            # accelerators (ops/equalize_llr.py).
+            llr = mrc_llr(jnp.moveaxis(y, 1, -1),
+                          jnp.moveaxis(H_data, 1, -1),
+                          n0 + ev, Qm).reshape(B, -1)
             llr = unscramble_llrs(llr, self.scr_seq)
             _, ok, w_soft_out = codec.decode(llr, w_soft=w_soft, rv=rv)
             return ok, w_soft_out, taps
