@@ -128,6 +128,43 @@ class RlcUm:
             self._advance()
 
 
+# ------------------------------------------------------------ UM wire --
+# Byte codec so UM PDUs can ride MAC transport blocks over the PHY
+# (the reference's UM header: FI/E/SN + LI extensions, 36.322 §6.2.1.3;
+# here the same information — FI bits, SN, per-chunk length indicators —
+# in a fixed-layout PER-lite framing, consistent with rrc/messages.py).
+
+def pack_um(pdu: "UmPdu") -> bytes:
+    assert len(pdu.chunks) <= 16
+    out = bytearray([(0x80 if pdu.fi_start else 0)
+                     | (0x40 if pdu.fi_end else 0)
+                     | (len(pdu.chunks) - 1),
+                     (pdu.sn >> 8) & 0xFF, pdu.sn & 0xFF])
+    for c in pdu.chunks[:-1]:           # LIs for all but the last chunk
+        assert len(c) < (1 << 16)
+        out += bytes([len(c) >> 8, len(c) & 0xFF])
+    for c in pdu.chunks:
+        out += c
+    return bytes(out)
+
+
+def unpack_um(data: bytes) -> "UmPdu":
+    n_chunks = (data[0] & 0x0F) + 1
+    sn = (data[1] << 8) | data[2]
+    pos = 3
+    lens = []
+    for _ in range(n_chunks - 1):
+        lens.append((data[pos] << 8) | data[pos + 1])
+        pos += 2
+    chunks = []
+    for ln in lens:
+        chunks.append(data[pos:pos + ln])
+        pos += ln
+    chunks.append(data[pos:])
+    return UmPdu(sn=sn, fi_start=bool(data[0] & 0x80),
+                 fi_end=bool(data[0] & 0x40), chunks=tuple(chunks))
+
+
 # --------------------------------------------------------------------- AM --
 
 @dataclass
@@ -142,6 +179,36 @@ class AmPdu:
 class StatusPdu:
     ack_sn: int                   # next expected SN
     nack_sns: tuple = ()
+
+
+# ------------------------------------------------------------ AM wire --
+# AM data PDU: D/C|RF|P header + SN + payload (36.322 §6.2.1.4 fields);
+# STATUS PDU: D/C=0 + ACK_SN + NACK list (§6.2.1.6).
+
+def pack_am(pdu: "AmPdu") -> bytes:
+    return bytes([0x80 | (0x40 if pdu.is_retx else 0)
+                  | (0x20 if pdu.poll else 0),
+                  (pdu.sn >> 8) & 0xFF, pdu.sn & 0xFF]) + pdu.payload
+
+
+def pack_am_status(st: "StatusPdu") -> bytes:
+    out = bytearray([0x00, (st.ack_sn >> 8) & 0xFF, st.ack_sn & 0xFF,
+                     len(st.nack_sns)])
+    for sn in st.nack_sns:
+        out += bytes([(sn >> 8) & 0xFF, sn & 0xFF])
+    return bytes(out)
+
+
+def unpack_am(data: bytes):
+    """-> AmPdu (data) or StatusPdu (control), dispatched on D/C."""
+    if data[0] & 0x80:
+        return AmPdu(sn=(data[1] << 8) | data[2],
+                     is_retx=bool(data[0] & 0x40),
+                     payload=data[3:], poll=bool(data[0] & 0x20))
+    n = data[3]
+    nacks = tuple((data[4 + 2 * i] << 8) | data[5 + 2 * i]
+                  for i in range(n))
+    return StatusPdu(ack_sn=(data[1] << 8) | data[2], nack_sns=nacks)
 
 
 class RlcAm:

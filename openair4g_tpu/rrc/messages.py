@@ -66,7 +66,13 @@ def _rrc_message(tag: int):
             w = _BitWriter()
             w.put(tag, 8)
             for f in fields(self):
-                w.put(int(getattr(self, f.name)), f.metadata["width"])
+                if f.metadata.get("bytes"):
+                    val = getattr(self, f.name)
+                    w.put(len(val), 16)
+                    for byte in val:
+                        w.put(byte, 8)
+                else:
+                    w.put(int(getattr(self, f.name)), f.metadata["width"])
             return w.to_bytes()
 
         @classmethod
@@ -74,8 +80,13 @@ def _rrc_message(tag: int):
             r = _BitReader(data)
             t = r.take(8)
             assert t == tag, (t, tag)
-            vals = {f.name: r.take(f.metadata["width"])
-                    for f in fields(kls)}
+            vals = {}
+            for f in fields(kls):
+                if f.metadata.get("bytes"):
+                    n = r.take(16)
+                    vals[f.name] = bytes(r.take(8) for _ in range(n))
+                else:
+                    vals[f.name] = r.take(f.metadata["width"])
             return kls(**vals)
 
         cls.pack = pack
@@ -87,6 +98,13 @@ def _rrc_message(tag: int):
 def _f(width: int, default: int = 0):
     from dataclasses import field
     return field(default=default, metadata={"width": width})
+
+
+def _b(default: bytes = b""):
+    """Variable-length bytes field (16-bit length prefix) — the octet-
+    string containers of 36.331 (dedicatedInfoNAS etc.)."""
+    from dataclasses import field
+    return field(default=default, metadata={"bytes": True})
 
 
 def decode_message(data: bytes):
@@ -207,7 +225,9 @@ class RrcConnectionSetup:
 @dataclass
 class RrcConnectionSetupComplete:
     selected_plmn: int = _f(3, 1)
-    # NAS container elided (EPC out of scope this layer)
+    # dedicatedInfoNAS: the initial NAS message (AttachRequest) rides here,
+    # as in the reference (rrc_eNB.c forwards it as InitialUEMessage)
+    dedicated_info_nas: bytes = _b()
 
 
 @_rrc_message(0x13)
@@ -254,3 +274,63 @@ class MeasurementReport:
 @dataclass
 class RrcConnectionRelease:
     release_cause: int = _f(2)         # loadBalancing/other
+
+
+@_rrc_message(0x17)
+@dataclass
+class DlInformationTransfer:
+    """DCCH downlink NAS transport (36.331 §5.6.1; rrc_eNB.c
+    rrc_eNB_generate_dedicatedInformationTransfer)."""
+    dedicated_info_nas: bytes = _b()
+
+
+@_rrc_message(0x18)
+@dataclass
+class UlInformationTransfer:
+    """DCCH uplink NAS transport (36.331 §5.6.2)."""
+    dedicated_info_nas: bytes = _b()
+
+
+@_rrc_message(0x19)
+@dataclass
+class MobilityControlInfo:
+    """mobilityControlInfo IE carried inside an
+    RRCConnectionReconfiguration that commands handover (36.331 §6.3.4;
+    the reference builds it in rrc_eNB.c:1760-1990 HO preparation)."""
+    target_pci: int = _f(9)
+    new_crnti: int = _f(16)
+    t304_ms_idx: int = _f(3, 4)        # {50,100,150,200,500,1000,2000} idx
+    ra_preamble_index: int = _f(6)     # dedicated (contention-free) RA
+    ra_prach_mask: int = _f(4)
+    carrier_freq: int = _f(16)
+
+
+@_rrc_message(0x1A)
+@dataclass
+class RrcHandoverCommand:
+    """RRCConnectionReconfiguration w/ mobilityControlInfo, flattened
+    (the HO flavour of reconfiguration; DCCH downlink)."""
+    transaction_id: int = _f(2)
+    mobility: bytes = _b()             # packed MobilityControlInfo
+
+
+@_rrc_message(0x1B)
+@dataclass
+class HandoverPreparationInformation:
+    """Inter-eNB (X2/S1) container: source context for the target cell
+    (36.331 §10.2.2; rrc_eNB.c HandoverPreparationInformation)."""
+    ue_identity: int = _f(40)
+    source_crnti: int = _f(16)
+    transmission_mode: int = _f(4, 1)
+    rsrp_neighbour: int = _f(7)
+    as_context: bytes = _b()           # PDCP/RLC state blob (opaque)
+
+
+@_rrc_message(0x1C)
+@dataclass
+class Paging:
+    """PCCH Paging message (36.331 §6.2.2): one paging record.
+    ue_identity: S-TMSI/IMSI-derived id the idle UE matches on."""
+    ue_identity: int = _f(40)
+    cn_domain: int = _f(1, 1)          # 1 = PS
+    system_info_modification: int = _f(1)
