@@ -20,13 +20,27 @@ _loggers: dict[str, logging.Logger] = {}
 _handler: logging.Handler | None = None
 
 
+class _StdoutHandler(logging.StreamHandler):
+    """Writes to whatever sys.stdout is *now* (not at creation time) so
+    redirected/captured stdout — oaisim log files, pytest capsys — always
+    receives the lines, like the reference logger's FILE* indirection."""
+
+    @property
+    def stream(self):
+        return sys.stdout
+
+    @stream.setter
+    def stream(self, value):   # base-class __init__ assigns; ignore
+        pass
+
+
 def _get(comp: str) -> logging.Logger:
     global _handler
     comp = comp.upper()
     if comp not in _loggers:
         lg = logging.getLogger(f"openair4g_tpu.{comp}")
         if _handler is None:
-            _handler = logging.StreamHandler(sys.stdout)
+            _handler = _StdoutHandler()
             _handler.setFormatter(logging.Formatter(_FMT))
         if not lg.handlers:
             lg.addHandler(_handler)
