@@ -14,7 +14,8 @@ from dataclasses import dataclass, field
 from .s1ap import (S1SetupRequest, InitialUeMessage, DownlinkNasTransport,
                    UplinkNasTransport, InitialContextSetupRequest,
                    InitialContextSetupResponse, UeContextReleaseCommand,
-                   UeContextReleaseComplete, decode_s1ap)
+                   UeContextReleaseComplete, PathSwitchRequest,
+                   PathSwitchRequestAcknowledge, decode_s1ap)
 from .gtpu import gtpu_encap, gtpu_decap, GTPU_GPDU
 
 
@@ -134,6 +135,41 @@ class EnbApp:
                         enb_ue_id=msg.enb_ue_id).pack()))
             else:
                 raise ValueError(f"unhandled S1AP at eNB: {msg}")
+
+    # ---------------------------------------------------------- handover --
+    def handover_out(self, crnti: int) -> dict:
+        """Source-eNB side of an X2 handover: hand the S1 context to the
+        target and forget the local bindings (the path stays on this eNB
+        until the target's PathSwitchRequest lands)."""
+        ctx = self.by_crnti.pop(crnti)
+        self.by_enb_ue_id.pop(ctx.enb_ue_id, None)
+        self.by_teid.pop(ctx.enb_teid_dl, None)
+        self._mrec("eNB", "eNB2", "X2 HandoverRequest(S1 context)")
+        return dict(mme_ue_id=ctx.mme_ue_id, erab_id=ctx.erab_id,
+                    sgw_teid_ul=ctx.sgw_teid_ul)
+
+    def handover_in(self, crnti: int, s1_ctx: dict) -> None:
+        """Target-eNB side: adopt the context, allocate a fresh DL TEID and
+        switch the S1-U path (PathSwitchRequest -> MME -> SGW Modify
+        Bearer, s1ap_eNB x2 handover flow)."""
+        ctx = EnbUeS1Context(enb_ue_id=self._next_ue_id, crnti=crnti,
+                             mme_ue_id=s1_ctx["mme_ue_id"],
+                             erab_id=s1_ctx["erab_id"],
+                             sgw_teid_ul=s1_ctx["sgw_teid_ul"],
+                             enb_teid_dl=self._next_teid)
+        self._next_ue_id += 1
+        self._next_teid += 1
+        self.by_crnti[crnti] = ctx
+        self.by_enb_ue_id[ctx.enb_ue_id] = ctx
+        self.by_teid[ctx.enb_teid_dl] = ctx
+        self._mrec("eNB", "MME", "PathSwitchRequest")
+        for pdu in self.mme.handle_s1ap(PathSwitchRequest(
+                mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+                erab_id=ctx.erab_id, enb_teid_dl=ctx.enb_teid_dl,
+                enb_addr=self.addr).pack()):
+            ack = decode_s1ap(pdu)
+            assert isinstance(ack, PathSwitchRequestAcknowledge)
+            self._mrec("MME", "eNB", "PathSwitchRequestAcknowledge")
 
     # -------------------------------------------------------- user plane --
     def uplink_user(self, crnti: int, ip_pkt: bytes) -> None:

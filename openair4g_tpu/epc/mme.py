@@ -32,6 +32,7 @@ from .s1ap import (S1SetupRequest, S1SetupResponse, InitialUeMessage,
                    DownlinkNasTransport, UplinkNasTransport,
                    InitialContextSetupRequest, InitialContextSetupResponse,
                    UeContextReleaseCommand, UeContextReleaseComplete,
+                   PathSwitchRequest, PathSwitchRequestAcknowledge,
                    decode_s1ap)
 from .hss import Hss
 from .sgw import SgwPgw
@@ -85,6 +86,16 @@ class Mme:
             self.sgw.modify_bearer(ctx.bearer.sgw_teid_ul,
                                    msg.enb_teid_dl, msg.enb_addr)
             return []
+        if isinstance(msg, PathSwitchRequest):
+            # X2 handover completion: re-point the S1-U downlink tunnel at
+            # the target eNB (s1ap_mme handler -> SGW Modify Bearer)
+            ctx = self.ues[msg.mme_ue_id]
+            assert ctx.state == EmmState.REGISTERED, ctx.state
+            self.sgw.modify_bearer(ctx.bearer.sgw_teid_ul,
+                                   msg.enb_teid_dl, msg.enb_addr)
+            ctx.enb_ue_id = msg.enb_ue_id
+            return [PathSwitchRequestAcknowledge(
+                mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id).pack()]
         if isinstance(msg, UeContextReleaseComplete):
             self.ues.pop(msg.mme_ue_id, None)
             return []

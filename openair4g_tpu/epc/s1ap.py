@@ -128,6 +128,25 @@ class InitialContextSetupResponse:
     enb_addr: int = _f(4, default=0x0A000002)
 
 
+@_s1ap_message(0x40)
+@dataclass
+class PathSwitchRequest:
+    """X2-handover completion toward the EPC (36.413 §8.4.4): the target
+    eNB asks the MME to switch the S1-U downlink to its own endpoint."""
+    mme_ue_id: int = _f(4)
+    enb_ue_id: int = _f(4)            # target-eNB UE id
+    erab_id: int = _f(1, default=5)
+    enb_teid_dl: int = _f(4, default=0)
+    enb_addr: int = _f(4, default=0x0A000003)
+
+
+@_s1ap_message(0x41)
+@dataclass
+class PathSwitchRequestAcknowledge:
+    mme_ue_id: int = _f(4)
+    enb_ue_id: int = _f(4)
+
+
 @_s1ap_message(0x30)
 @dataclass
 class UeContextReleaseCommand:

@@ -18,7 +18,8 @@ from .messages import (Sib1, Sib2, RrcConnectionRequest,
                        RrcConnectionReconfiguration,
                        RrcConnectionReconfigurationComplete,
                        RrcConnectionRelease, MeasurementReport,
-                       decode_message)
+                       MobilityControlInfo, RrcHandoverCommand,
+                       HandoverPreparationInformation, decode_message)
 
 
 class UeState(Enum):
@@ -27,6 +28,8 @@ class UeState(Enum):
     CONNECTED = 2
     WAIT_RECONF_COMPLETE = 3
     RELEASED = 4
+    HANDOVER_PREP = 5        # source side: HO command sent, ctx doomed
+    WAIT_HO_COMPLETE = 6     # target side: admitted, waiting for the UE
 
 
 @dataclass
@@ -95,7 +98,8 @@ class RrcEnb:
             ctx.state = UeState.CONNECTED
             return None
         if isinstance(msg, RrcConnectionReconfigurationComplete):
-            assert ctx.state == UeState.WAIT_RECONF_COMPLETE
+            assert ctx.state in (UeState.WAIT_RECONF_COMPLETE,
+                                 UeState.WAIT_HO_COMPLETE), ctx.state
             assert msg.transaction_id == ctx.transaction_id
             ctx.state = UeState.CONNECTED
             return None
@@ -122,6 +126,55 @@ class RrcEnb:
     def release(self, crnti: int, cause: int = 1) -> bytes:
         self.ues[crnti].state = UeState.RELEASED
         return RrcConnectionRelease(release_cause=cause).pack()
+
+    # ---------------------------------------------------------- handover --
+    @staticmethod
+    def a3_event(rsrp_serving: int, rsrp_neighbour: int,
+                 a3_offset_db: float = 3.0, hysteresis_db: float = 1.0
+                 ) -> bool:
+        """36.331 §5.5.4.4 A3 entering condition:
+        Mn - Hys > Ms + Off (codes are 1 dB/step, 36.133)."""
+        return rsrp_neighbour - hysteresis_db > rsrp_serving + a3_offset_db
+
+    def build_handover_preparation(self, crnti: int,
+                                   report: MeasurementReport) -> bytes:
+        """Source side: MeasurementReport passed the A3 trigger -> build
+        the inter-eNB HandoverPreparationInformation and mark the context
+        (rrc_eNB_process_MeasurementReport -> HO prep,
+        rrc_eNB.c:1760-1990)."""
+        ctx = self.ues[crnti]
+        assert ctx.state == UeState.CONNECTED, ctx.state
+        ctx.state = UeState.HANDOVER_PREP
+        return HandoverPreparationInformation(
+            ue_identity=ctx.ue_identity, source_crnti=crnti,
+            transmission_mode=ctx.transmission_mode,
+            rsrp_neighbour=report.rsrp_neighbour).pack()
+
+    def admit_handover(self, hpi_bytes: bytes, target_pci: int,
+                       ra_preamble: int = 60) -> tuple[int, bytes]:
+        """Target side: admit the incoming UE — allocate a C-RNTI + a
+        dedicated (contention-free) RA preamble and build the
+        RRCConnectionReconfiguration-with-mobilityControlInfo the source
+        forwards to the UE. Returns (new_crnti, ho_command_bytes)."""
+        hpi = decode_message(hpi_bytes)
+        assert isinstance(hpi, HandoverPreparationInformation)
+        crnti = self._next_crnti
+        self._next_crnti = (self._next_crnti + 1) & 0xFFF0 or 0x100
+        ctx = EnbUeContext(crnti=crnti, ue_identity=hpi.ue_identity,
+                           transmission_mode=hpi.transmission_mode,
+                           state=UeState.WAIT_HO_COMPLETE,
+                           setup_tti=self.tti)
+        ctx.transaction_id = 1
+        self.ues[crnti] = ctx
+        mci = MobilityControlInfo(target_pci=target_pci, new_crnti=crnti,
+                                  ra_preamble_index=ra_preamble)
+        return crnti, RrcHandoverCommand(transaction_id=1,
+                                         mobility=mci.pack()).pack()
+
+    def handover_complete_source(self, crnti: int) -> None:
+        """Source side: the target confirmed — drop the old context
+        (rrc_eNB release after HO)."""
+        self.ues.pop(crnti, None)
 
     # ------------------------------------------------------------ timers --
     def tick(self) -> list[int]:

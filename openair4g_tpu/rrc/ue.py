@@ -16,7 +16,8 @@ from .messages import (Mib, Sib1, Sib2, RrcConnectionRequest,
                        RrcConnectionSetup, RrcConnectionSetupComplete,
                        RrcConnectionReconfiguration,
                        RrcConnectionReconfigurationComplete,
-                       RrcConnectionRelease, decode_message)
+                       RrcConnectionRelease, RrcHandoverCommand,
+                       MobilityControlInfo, decode_message)
 from .phy_config import apply_sib2, apply_dedicated, CommonPhyConfig, \
     DedicatedPhyConfig
 
@@ -101,6 +102,18 @@ class RrcUe:
 
     def on_dcch(self, data: bytes) -> bytes | None:
         msg = decode_message(data)
+        if isinstance(msg, RrcHandoverCommand):
+            # reconfiguration w/ mobilityControlInfo (rrc_UE.c handover
+            # branch): retune to the target PCI, take the new C-RNTI, run
+            # contention-free RA, then confirm on the TARGET's DCCH via
+            # handover_complete().
+            assert self.state == RrcState.CONNECTED
+            mci = decode_message(msg.mobility)
+            assert isinstance(mci, MobilityControlInfo)
+            self._pending_ho = (msg.transaction_id, mci)
+            self.n_id_cell = mci.target_pci
+            self.crnti = mci.new_crnti
+            return None
         if isinstance(msg, RrcConnectionReconfiguration):
             assert self.state == RrcState.CONNECTED
             self.dedicated = apply_dedicated(self._setup, self.common, msg)
@@ -111,6 +124,20 @@ class RrcUe:
             self.crnti = None
             return None
         raise ValueError(f"unexpected DCCH message {msg}")
+
+    # ---------------------------------------------------------- handover --
+    @property
+    def pending_handover(self) -> MobilityControlInfo | None:
+        ho = getattr(self, "_pending_ho", None)
+        return ho[1] if ho else None
+
+    def handover_complete(self) -> bytes:
+        """After contention-free RA to the target succeeded: the
+        ReconfigurationComplete for the target's DCCH."""
+        tid, _ = self._pending_ho
+        self._pending_ho = None
+        return RrcConnectionReconfigurationComplete(
+            transaction_id=tid).pack()
 
     # ------------------------------------------------------------ timers --
     def tick(self) -> str | None:

@@ -154,6 +154,15 @@ class ChannelModel:
     forgetting_factor: float = 0.0   # 0 = fresh fade per draw (dlsim default)
     n_tx: int = 1
     n_rx: int = 1
+    delay_scale: float = 1.0  # multiplies every tap delay. 1.0 = the true
+    #   36.101 profile. The *reference sims* effectively run with
+    #   delay_scale = BW/f_s = 0.651: random_channel.c:988 places tap l at
+    #   FIR sample position delays[l]*BW, but dlsim passes BW = the nominal
+    #   channel bandwidth (10.0 for 50 PRB, dlsim.c:697) while the signal
+    #   is sampled at f_s = ofdm_symbol_size*15 kHz (15.36 Msps at 50 PRB),
+    #   so the reference's EVA/ETU delay spread is compressed by 0.651 at
+    #   every LTE bandwidth. Use delay_scale=0.651 to reproduce the
+    #   REFERENCE_DATA/pdsch.txt corpus; see VALIDATION.md root-cause note.
 
     @property
     def n_taps(self) -> int:
@@ -297,7 +306,7 @@ class ChannelModel:
     def _phase_matrix_at(self, f_idx: tuple) -> np.ndarray:
         delays_us, _ = PROFILES[self.name]
         f_hz = np.asarray(f_idx, np.float64) * 15000.0
-        tau = np.asarray(delays_us)[:, None] * 1e-6
+        tau = np.asarray(delays_us)[:, None] * 1e-6 * self.delay_scale
         return np.exp(-2j * np.pi * f_hz[None, :] * tau).astype(np.complex64)
 
 

@@ -158,6 +158,9 @@ class DlsimFadingConfig:
     #   rounds with rho = J0(2*pi*fd*8ms) (Jakes at the HARQ RTT). 0 matches
     #   the reference dlsim exactly: hold_channel=0, fresh iid channel every
     #   round (dlsim.c:2156).
+    delay_scale: float = 1.0      # tap-delay multiplier; 0.651 reproduces
+    #   the reference corpus' compressed delay spread (channels.ChannelModel
+    #   docstring + VALIDATION.md root-cause note)
     est_mode: str = "interp"      # "interp" (per-pilot-symbol Wiener +
     #   time interpolation, the reference's high_speed mode) or "joint"
     #   (quasi-static 2D LMMSE over all pilot symbols — ~3 dB better
@@ -192,7 +195,8 @@ class DlsimFading:
         self.gm = make_grid_map(cfg.n_rb, cfg.n_pdcch_symbols,
                                 cfg.n_id_cell, cfg.subframe)
         self.chan = ChannelModel(name=cfg.channel, fp=self.fp,
-                                 n_rx=cfg.n_rx)
+                                 n_rx=cfg.n_rx,
+                                 delay_scale=cfg.delay_scale)
         self.harq_ff = (harq_forgetting_factor(cfg.harq_doppler_hz)
                         if cfg.harq_doppler_hz > 0 else 0.0)
         G = self.dlsch.cfg.G

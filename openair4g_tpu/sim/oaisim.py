@@ -112,6 +112,11 @@ class OaisimConfig:
     ul_tx_power_db: float = 30.0     # UE TX power over noise at d_ref
     n_turbo_iter: int = 6
     n_harq_rounds: int = 1           # >1 enables HARQ in the emulator loop
+    handover: bool = False           # RRC-level serving cell + A3-triggered
+    #   X2 handover (rrc/handover.py ladder) instead of geometric argmax
+    a3_offset_db: float = 3.0
+    a3_hysteresis_db: float = 1.0
+    a3_ttt_frames: int = 2           # time-to-trigger, in 10 ms frames
     seed: int = 0
 
     @staticmethod
@@ -139,6 +144,7 @@ class OaisimConfig:
             mode=emu.get("mode", "abstraction"),
             esm=emu.get("esm", "eesm"),
             mac=emu.get("mac", "rr"),
+            handover=emu.get("handover", False),
             ul_traffic=app.get("ul_traffic", False),
             ul_arrival_p=app.get("ul_arrival_p", 0.1),
             ul_bytes=app.get("ul_bytes", 600),
@@ -196,6 +202,8 @@ class Oaisim:
                           bits_ok=np.zeros(cfg.n_ue, np.int64),
                           retx=np.zeros(cfg.n_ue, np.int64))
         self._frame = 0
+        if cfg.handover:
+            self._init_handover()
         # HARQ state (abstraction: accumulated effective SINR = chase
         # combining; phy: per-eNB soft buffers carried across TTIs)
         self.harq_round = np.zeros(cfg.n_ue, np.int32)
@@ -285,6 +293,70 @@ class Oaisim:
             elif self._ul_state[u].retx_round == 0:
                 self.stats["ul_tb_err"][u] += 1       # lost after max rounds
 
+    # ----------------------------------------------------------- handover --
+    def _init_handover(self):
+        """RRC entities per node: the UE's serving cell is now RRC state
+        changed only by the rrc/handover.py ladder (rrc_eNB.c:1760-1990),
+        not by the geometric argmax. UEs start CONNECTED at their best
+        cell (the attach ladder itself is sim/capstone.py's job)."""
+        from ..rrc.enb import RrcEnb, EnbUeContext, UeState
+        from ..rrc.ue import RrcUe, RrcState
+        cfg = self.cfg
+        self.rrc_enbs = [RrcEnb() for _ in range(cfg.n_enb)]
+        self.rrc_ues = []
+        self.serving_rrc = self.serving.copy()
+        self._a3_count = np.zeros(cfg.n_ue, np.int32)
+        self.ho_events: list = []
+        for u in range(cfg.n_ue):
+            e = int(self.serving_rrc[u])
+            ue = RrcUe(seed=cfg.seed * 1000 + u)
+            ue.state = RrcState.CONNECTED
+            ue.n_id_cell = e
+            enb = self.rrc_enbs[e]
+            crnti = enb._next_crnti
+            enb._next_crnti += 1
+            enb.ues[crnti] = EnbUeContext(crnti=crnti,
+                                          ue_identity=ue.ue_identity,
+                                          state=UeState.CONNECTED)
+            ue.crnti = crnti
+            self.rrc_ues.append(ue)
+
+    def _a3_step(self):
+        """Per-frame measurement + A3 evaluation + HO execution (the
+        reference's per-frame RRC measurement processing in oaisim)."""
+        from ..rrc.enb import RrcEnb
+        from ..rrc.messages import MeasurementReport
+        from ..rrc.handover import execute_handover
+        cfg = self.cfg
+        rsrp_code = np.clip(np.round(10 * np.log10(
+            np.maximum(self.p_rx, 1e-12))) + 100, 0, 97).astype(int)
+        for u in range(cfg.n_ue):
+            s = int(self.serving_rrc[u])
+            neigh = [(rsrp_code[u, e], e) for e in range(cfg.n_enb)
+                     if e != s]
+            if not neigh:
+                return
+            best_rsrp, best = max(neigh)
+            if RrcEnb.a3_event(rsrp_code[u, s], best_rsrp,
+                               cfg.a3_offset_db, cfg.a3_hysteresis_db):
+                self._a3_count[u] += 1
+            else:
+                self._a3_count[u] = 0
+                continue
+            if self._a3_count[u] < cfg.a3_ttt_frames:
+                continue
+            self._a3_count[u] = 0
+            report = MeasurementReport(
+                meas_id=1, rsrp_serving=rsrp_code[u, s],
+                neighbour_pci=best, rsrp_neighbour=best_rsrp)
+            res = execute_handover(self.rrc_enbs[s], self.rrc_enbs[best],
+                                   self.rrc_ues[u], report,
+                                   target_pci=best)
+            self.serving_rrc[u] = best
+            self.ho_events.append(dict(frame=self._frame, ue=u,
+                                       source=s, target=best,
+                                       crnti=res.target_crnti))
+
     # ----------------------------------------------------------- topology --
     def _update_links(self):
         cfg = self.cfg
@@ -293,7 +365,11 @@ class Oaisim:
         d = np.maximum(d, 10.0)
         pl_db = 10.0 * cfg.pathloss_exp * np.log10(d / cfg.d_ref)
         self.p_rx = 10.0 ** ((cfg.tx_power_db - pl_db) / 10.0)  # [U, E]
-        self.serving = np.argmax(self.p_rx, axis=1)              # [U]
+        if cfg.handover and hasattr(self, "serving_rrc"):
+            self.serving = self.serving_rrc.copy()   # RRC decides, not
+            #   geometry: cells change only through the HO ladder
+        else:
+            self.serving = np.argmax(self.p_rx, axis=1)          # [U]
 
     def _mobility_step(self):
         """OMG mobility, one frame (10 ms): random walk (default), random
@@ -524,6 +600,9 @@ class Oaisim:
                         jnp.asarray(clear))
                     self._harq_update(sched, np.asarray(err), None)
             self._mobility_step()
+            if cfg.handover:
+                self._a3_step()
+                self.serving = self.serving_rrc.copy()
             self._frame += 1
         return self.summary()
 
@@ -585,6 +664,8 @@ class Oaisim:
                     sum_throughput_mbps=float(thr.sum() / 1e6),
                     retx_total=int(self.stats["retx"].sum()),
                     serving=self.serving.copy())
+        if self.cfg.handover:
+            out["ho_events"] = list(self.ho_events)
         if "ul_tb_ok" in self.stats:
             out["ul_tb_ok"] = self.stats["ul_tb_ok"].copy()
             out["ul_throughput_mbps"] = float(
