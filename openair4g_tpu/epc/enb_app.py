@@ -32,7 +32,11 @@ class EnbUeS1Context:
 
 class EnbApp:
     """One eNB's S1 interface. `mme` is the Mme object (in-process SCTP);
-    `sgw` the SgwPgw (in-process S1-U)."""
+    `sgw` the SgwPgw (in-process S1-U).
+
+    `pending_pages`: ue_paging_ids from S1AP Paging, drained by the
+    RRC/MAC scheduler which transmits the PCCH Paging message at the UE's
+    paging occasion (rrc/paging.py)."""
 
     def __init__(self, mme, sgw, enb_id: int = 0x19B, addr: int = 0x0A000002,
                  msc=None, pcap=None):
@@ -50,8 +54,20 @@ class EnbApp:
         self.by_teid: dict[int, EnbUeS1Context] = {}
         self._next_ue_id = 1
         self._next_teid = 0x2000
+        self.pending_pages: list[int] = []
         self.s1_up = False
         self._s1_setup()
+
+    def handle_mme_initiated(self, pdu: bytes) -> None:
+        """MME-initiated S1AP (Paging, context release) pushed to the
+        eNB outside a request/response pair."""
+        from .s1ap import S1apPaging
+        msg = decode_s1ap(pdu)
+        if isinstance(msg, S1apPaging):
+            self._mrec("MME", "eNB", "S1AP Paging")
+            self.pending_pages.append(msg.ue_paging_id)
+        else:
+            self._dispatch([pdu])
 
     def _mrec(self, src, dst, label):
         if self.msc is not None:

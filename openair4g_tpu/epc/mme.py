@@ -155,3 +155,10 @@ class Mme:
         ctx = self.ues[mme_ue_id]
         return UeContextReleaseCommand(mme_ue_id=ctx.mme_ue_id,
                                        enb_ue_id=ctx.enb_ue_id).pack()
+
+    def page(self, imsi: int) -> bytes:
+        """Mobile-terminated traffic for an idle UE -> S1AP Paging toward
+        every eNB in the tracking area (s1ap_mme paging procedure)."""
+        from .s1ap import S1apPaging
+        assert self.hss.known(imsi), imsi
+        return S1apPaging(ue_paging_id=imsi).pack()

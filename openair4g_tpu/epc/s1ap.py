@@ -147,6 +147,17 @@ class PathSwitchRequestAcknowledge:
     enb_ue_id: int = _f(4)
 
 
+@_s1ap_message(0x50)
+@dataclass
+class S1apPaging:
+    """MME -> eNB Paging (36.413 §8.5): the eNB pages the UE at its
+    paging occasion with P-RNTI DCI 1C."""
+    ue_paging_id: int = _f(8)          # IMSI-based (packed as int here)
+    tac: int = _f(2, default=1)
+    cn_domain: int = _f(1, default=1)  # 1 = PS
+    paging_drx: int = _f(1, default=1)
+
+
 @_s1ap_message(0x30)
 @dataclass
 class UeContextReleaseCommand:

@@ -196,6 +196,10 @@ class Sib2:
     # ul-CarrierFreq / bandwidth
     ul_bandwidth: int = _f(3, 2)           # {6,15,25,50,75,100} RB index
     additional_spectrum_emission: int = _f(5, 1)
+    # pcch-Config (36.331 §6.3.2; consumed by rrc/paging.py — the
+    # reference reads defaultPagingCycle at rrc_UE.c:2303,2755)
+    default_paging_cycle: int = _f(2, 1)   # rf{32,64,128,256} index
+    paging_nb: int = _f(3, 2)              # nB: {4T,2T,T,T/2,T/4,...} index
 
 
 @_rrc_message(0x10)

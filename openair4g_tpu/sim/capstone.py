@@ -120,6 +120,10 @@ class CapstoneConfig:
     k: bytes = bytes(range(16))
     max_ttis: int = 400
     n_turbo_iter: int = 8
+    mt_attach: bool = False     # mobile-terminated: UE camps idle and
+    #   waits for a P-RNTI page at its 36.304 paging occasion before RA
+    page_at_tti: int = 16       # when the MME pages (mt_attach mode)
+    paging_cycle_idx: int = 1   # SIB2 defaultPagingCycle: rf{32,64,128,256}
 
 
 def _bytes_to_tb(data: bytes, tbs: int) -> np.ndarray:
@@ -424,7 +428,8 @@ class FullStackSim:
         self.mme = Mme(hss, self.sgw)
         self.enb_rrc = RrcEnb(sib1=Sib1(), sib2=Sib2(
             prach_root_sequence=cfg.prach_root,
-            zero_correlation_zone=cfg.prach_ncs // 13))
+            zero_correlation_zone=cfg.prach_ncs // 13,
+            default_paging_cycle=cfg.paging_cycle_idx))
         self.enb_app = EnbApp(self.mme, self.sgw, msc=self.msc,
                               pcap=self.pcap)
         # eNB per-UE L2 (single UE)
@@ -450,6 +455,13 @@ class FullStackSim:
         self.trace: list = []
         self.tti = 0
         self.phy_runs = dict(dl=0, ul=0, prach=0)
+        # paging (36.304): idle DRX occasions from SIB2's pcch-Config
+        from ..rrc.paging import PagingConfig, ue_paging_id
+        self.pcfg = PagingConfig.from_sib2(self.enb_rrc.sib2)
+        self.ue_pid = ue_paging_id(cfg.imsi)
+        self.ue_paged = not cfg.mt_attach   # MO attach: RA immediately
+        self._page_due: int | None = None
+        self.po_monitored = 0
 
     # ------------------------------------------------------------- helpers --
     def _ev(self, what: str):
@@ -513,6 +525,13 @@ class FullStackSim:
         si = self.enb_rrc.bcch_schedule(sfn, sf)
         if si is not None:
             return ("common", SI_RNTI, si), None
+        if self._page_due == self.tti:
+            self._page_due = None
+            from ..rrc.messages import Paging
+            pg = Paging(ue_identity=self.cfg.imsi & ((1 << 40) - 1))
+            self._ev(f"eNB transmits Paging at PO (sfn={sfn} sf={sf})")
+            self._mrec("eNB", "UE", "Paging (P-RNTI, DCI 1C)")
+            return ("common", P_RNTI, pg.pack()), None
         for i, (due, rar, rarnti) in enumerate(self._rar_due):
             if self.tti >= due:
                 self._rar_due.pop(i)
@@ -593,6 +612,14 @@ class FullStackSim:
             ue.rrc.on_bcch(data)
             self._ev(f"UE received SI ({type(decode_message(data)).__name__})")
             self._mrec("eNB", "UE", "BCCH SI on PDSCH (DCI 1C)")
+        elif rnti == P_RNTI:
+            from ..rrc.messages import Paging
+            pg = decode_message(data)
+            if isinstance(pg, Paging) and \
+                    pg.ue_identity == self.cfg.imsi & ((1 << 40) - 1):
+                self.ue_paged = True
+                self._ev("UE paged (MT) at its paging occasion -> RA")
+                self._mrec("UE", "eNB", "paging-triggered access")
         elif ue.ra is not None and rnti == self._expected_ra_rnti():
             rar = unpack_rar(np.frombuffer(data[:7], np.uint8))
             if ue.ra.on_rar(rar):
@@ -799,7 +826,7 @@ class FullStackSim:
         cfg, ue = self.cfg, self.ue
         if ue.rrc.state != RrcState.IDLE_READY or ue.ra is not None:
             pass
-        if (ue.rrc.state == RrcState.IDLE_READY
+        if (self.ue_paged and ue.rrc.state == RrcState.IDLE_READY
                 and (ue.ra is None or ue.ra.state == "idle")):
             v = int(self.rng.integers(0, n_preambles(cfg.prach_ncs)))
             ue.ra = RaProcedure(preamble=v)
@@ -843,14 +870,28 @@ class FullStackSim:
         cfg = self.cfg
         assert self.cold_sync(), "cell search failed"
         ip_payload = b"capstone-ping " + bytes(range(34))
+        from ..rrc.paging import is_paging_occasion, next_paging_occasion
         while self.tti < cfg.max_ttis:
             sfn, sf = self.tti // 10, self.tti % 10
+            # MME-originated page (MT attach) -> eNB queues it for the PO
+            if cfg.mt_attach and self.tti == cfg.page_at_tti:
+                self.enb_app.handle_mme_initiated(self.mme.page(cfg.imsi))
+                self._ev("MME pages the idle UE (S1AP Paging)")
+            if self.enb_app.pending_pages and self._page_due is None:
+                pid = self.enb_app.pending_pages.pop(0)
+                self._page_due = next_paging_occasion(self.pcfg, pid % 1024,
+                                                      self.tti + 1)
+                self._ev(f"eNB schedules page for PO at t={self._page_due}")
             # eNB DL
             pdsch, grant_rnti = self._enb_dl_decision(sfn, sf)
             if pdsch is not None or grant_rnti is not None:
                 self.phy_runs["dl"] += 1
                 rgrid = self.dl.transmit(sf, pdsch, grant_rnti)
                 commons = [SI_RNTI]
+                if not self.ue_paged and is_paging_occasion(
+                        self.pcfg, self.ue_pid, sfn, sf):
+                    commons.append(P_RNTI)      # idle DRX: PO-only monitor
+                    self.po_monitored += 1
                 if self.ue.ra is not None and \
                         self.ue.ra.state == "preamble_sent":
                     commons.append(self._expected_ra_rnti())
@@ -908,6 +949,8 @@ class FullStackSim:
             ue_ip=self.ue.nas.ip,
             ttis=self.tti,
             phy_runs=dict(self.phy_runs),
+            paged=self.ue_paged and self.cfg.mt_attach,
+            po_monitored=self.po_monitored,
             trace=list(self.trace),
             msc_events=len(self.msc.events))
         if self._artifact_dir is not None:
