@@ -92,8 +92,14 @@ def _build_call(A: int, Qm: int, n_tiles: int, interpret: bool = False):
 
 
 def mrc_llr_pallas(y, H, n0_total, Qm: int, interpret: bool = False):
-    """y, H: [..., A] complex64; n0_total scalar. Returns [..., Qm] LLRs
-    (same convention as ops/llr.demap_llr applied to the MRC output)."""
+    """y, H: [..., A] complex64; n0_total scalar or broadcastable to the
+    leading shape (per-RE noise: estimation-error weighting, SM streams).
+    Returns [..., Qm] LLRs (same convention as ops/llr.demap_llr applied
+    to the MRC output).
+
+    Per-RE noise needs no kernel operand: pre-scaling y and h by
+    1/sqrt(n0) per element leaves the metric
+    -(num - l*h2)^2/h2 == -(num0 - l*h20)^2/(h20*n0) unchanged."""
     A = y.shape[-1]
     lead = y.shape[:-1]
     N0 = int(np.prod(lead))
@@ -106,7 +112,8 @@ def mrc_llr_pallas(y, H, n0_total, Qm: int, interpret: bool = False):
             f = jnp.pad(f, ((0, 0), (0, pad)), constant_values=1.0)
         return f
 
-    scale = jax.lax.rsqrt(jnp.asarray(n0_total, jnp.float32))
+    scale = jax.lax.rsqrt(jnp.broadcast_to(
+        jnp.asarray(n0_total, jnp.float32), lead)).reshape(N0, 1)
     yf = y.reshape(N0, A) * scale
     hf = H.reshape(N0, A) * scale
     args = (prep(yf.real), prep(yf.imag), prep(hf.real), prep(hf.imag))
@@ -115,14 +122,27 @@ def mrc_llr_pallas(y, H, n0_total, Qm: int, interpret: bool = False):
 
 
 def mrc_llr(y, H, n0_total, Qm: int):
-    """Fused MRC + equalize + max-log LLR. y, H: [..., A] complex.
+    """Fused MRC + equalize + max-log LLR. y, H: [..., A] complex;
+    n0_total scalar or broadcastable to y.shape[:-1].
 
     Pallas kernel on accelerators; the two-stage XLA oracle on CPU.
     Set OPENAIR4G_NO_PALLAS=1 to force the XLA path everywhere.
     """
-    scalar_n0 = jnp.ndim(n0_total) == 0
-    if not scalar_n0 or jax.default_backend() == "cpu" or os.environ.get(
+    if jax.default_backend() == "cpu" or os.environ.get(
             "OPENAIR4G_NO_PALLAS"):
         x_hat, n0_eff = mrc_equalize(y, H, n0_total)
         return demap_llr(x_hat, n0_eff, Qm)
     return mrc_llr_pallas(y, H, n0_total, Qm)
+
+
+def demap_llr_fused(x_hat, n0_eff, Qm: int):
+    """Fused max-log demap of an ALREADY-equalized symbol stream with
+    per-RE effective noise (the SM / Alamouti receivers' tail). Same
+    result as ops/llr.demap_llr, but on accelerators the [..., L]
+    distance tensor stays in VMEM: degenerate A=1 MRC with h=1."""
+    if jax.default_backend() == "cpu" or os.environ.get(
+            "OPENAIR4G_NO_PALLAS"):
+        return demap_llr(x_hat, n0_eff, Qm)
+    ones = jnp.ones(x_hat.shape + (1,), jnp.complex64)
+    return mrc_llr_pallas(x_hat[..., None].astype(jnp.complex64), ones,
+                          n0_eff, Qm)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.gold import (gold_sequence, pdsch_cinit, unscramble_llrs)
 from ..ops.llr import demap_llr
+from ..ops.equalize_llr import mrc_llr
 from ..phy.pdsch import DlschConfig, DlschCodec
 from ..phy.resource_grid import make_grid_map
 from ..phy.control_region import make_control_region_map
@@ -71,11 +72,12 @@ class UeRx:
         meas = measure(rgrid, self.gm, H_hat=H)
 
         def eq_llr(sym_idx, bin_idx, sc_idx):
+            # fused compensation+equalize+demap (ops/equalize_llr):
+            # one VMEM pass on accelerators, XLA oracle on CPU
             y = rgrid[:, jnp.asarray(sym_idx), jnp.asarray(bin_idx)]
             h = H[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]
-            yeq = y * jnp.conj(h) / (jnp.abs(h) ** 2 + n0)
-            return demap_llr(yeq, n0 / (jnp.abs(h) ** 2 + 1e-9),
-                             2).reshape(B, -1)
+            return mrc_llr(y[..., None], h[..., None], n0,
+                           2).reshape(B, -1)
 
         # ---- PCFICH -> CFI ----------------------------------------------
         crm = self.crm
@@ -103,9 +105,8 @@ class UeRx:
         y = rgrid[:, jnp.asarray(self.am.data_sym),
                   jnp.asarray(self.am.data_bin)]
         h = H[:, jnp.asarray(self.am.data_sym), jnp.asarray(self.am.data_sc)]
-        g = jnp.maximum(jnp.abs(h) ** 2, 1e-9)
-        llr = demap_llr(y * jnp.conj(h) / g, n0 / g,
-                        self.codec.cfg.Qm).reshape(B, -1)
+        llr = mrc_llr(y[..., None], h[..., None], n0,
+                      self.codec.cfg.Qm).reshape(B, -1)
         llr = unscramble_llrs(llr, self.scr_seq)
         tb, tb_ok, _ = self.codec.decode(llr)
 

@@ -26,7 +26,8 @@ from ..phy.alamouti import sfbc_encode, sfbc_combine
 from ..phy import ofdm
 from .channels import ChannelModel, apply_channel_grid
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, unscramble_llrs
-from ..ops.llr import map_symbols, demap_llr
+from ..ops.llr import map_symbols
+from ..ops.equalize_llr import demap_llr_fused
 
 
 @dataclass(frozen=True)
@@ -129,7 +130,7 @@ class DlsimTxDiv:
         h1 = jnp.stack(h1s, axis=1)
 
         x_hat, n0_eff = sfbc_combine(y, h0, h1, n0)
-        llr = demap_llr(x_hat, n0_eff, Qm).reshape(B, -1)
+        llr = demap_llr_fused(x_hat, n0_eff, Qm).reshape(B, -1)
         llr = unscramble_llrs(llr, self.scr_seq)
         tb_hat, tb_ok, _ = codec.decode(llr)
         bit_errs = jnp.sum(jnp.abs(tb_hat - tb), axis=1)

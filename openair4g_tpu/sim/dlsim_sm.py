@@ -34,7 +34,8 @@ from ..phy.mimo_rx import mmse_detect, mf_dual_stream, dual_stream_llr
 from ..phy import ofdm
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, \
     unscramble_llrs
-from ..ops.llr import map_symbols, demap_llr
+from ..ops.llr import map_symbols
+from ..ops.equalize_llr import demap_llr_fused
 
 
 @dataclass(frozen=True)
@@ -173,7 +174,7 @@ class DlsimSm:
             He = effective_channel(H, self.W)                 # [B, N, R, 2]
             x_hat, n0_eff = mmse_detect(y, He, n0)
             for q, codec in enumerate(self.codecs):
-                llr = demap_llr(x_hat[..., q], n0_eff[..., q],
+                llr = demap_llr_fused(x_hat[..., q], n0_eff[..., q],
                                 codec.cfg.Qm).reshape(B, -1)
                 llr = unscramble_llrs(llr, self.scr_seqs[q])
                 tb_hat, ok, _ = codec.decode(llr)
@@ -200,7 +201,8 @@ class DlsimSm:
                     extra = jnp.abs(jnp.sum(jnp.conj(he0) * hei, -1)
                                     ) ** 2 / g
                 n0_eff = (n0 * g + extra) / (g * g)
-                llr = demap_llr(z / g, n0_eff, codec.cfg.Qm).reshape(B, -1)
+                llr = demap_llr_fused(z / g, n0_eff,
+                                      codec.cfg.Qm).reshape(B, -1)
             llr = unscramble_llrs(llr, self.scr_seqs[0])
             tb_hat, ok, _ = codec.decode(llr)
             oks.append(ok)

@@ -31,6 +31,7 @@ from ..phy.pbch import make_pbch_map, pbch_blind_decode, unpack_mib
 from ..phy.channel_est import make_wiener_stack, estimate_channel
 from ..ops.gold import scramble_bits
 from ..ops.llr import map_symbols, demap_llr
+from ..ops.equalize_llr import mrc_llr
 from .channels import ChannelModel, apply_channel_bins
 
 
@@ -179,11 +180,11 @@ class FullChainSim:
         from ..ops.gold import gold_sequence, unscramble_llrs
 
         def eq_llr(sym_idx, bin_idx, sc_idx):
+            # fused compensation+equalize+demap (ops/equalize_llr)
             y = rgrid[:, jnp.asarray(sym_idx), jnp.asarray(bin_idx)]
             h = H[:, jnp.asarray(sym_idx), jnp.asarray(sc_idx)]
-            yeq = y * jnp.conj(h) / (jnp.abs(h) ** 2 + n0)
-            return demap_llr(yeq, n0 / (jnp.abs(h) ** 2 + 1e-9),
-                             2).reshape(B, -1)
+            return mrc_llr(y[..., None], h[..., None], n0,
+                           2).reshape(B, -1)
 
         crm = ue.crm
         cfg = ue.cfg
@@ -203,9 +204,8 @@ class FullChainSim:
 
         y = rgrid[:, jnp.asarray(ue.am.data_sym), jnp.asarray(ue.am.data_bin)]
         h = H[:, jnp.asarray(ue.am.data_sym), jnp.asarray(ue.am.data_sc)]
-        g = jnp.maximum(jnp.abs(h) ** 2, 1e-9)
-        llr = demap_llr(y * jnp.conj(h) / g, n0 / g,
-                        self.codec.cfg.Qm).reshape(B, -1)
+        llr = mrc_llr(y[..., None], h[..., None], n0,
+                      self.codec.cfg.Qm).reshape(B, -1)
         llr = unscramble_llrs(llr, self.scr_seq)
         tb, tb_ok, w_new = self.codec.decode(llr, w_soft=w_soft, rv=rv)
         return dict(dci_found=dci_found, tb_ok=tb_ok, w_soft=w_new,
