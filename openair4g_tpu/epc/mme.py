@@ -36,6 +36,8 @@ from .s1ap import (S1SetupRequest, S1SetupResponse, InitialUeMessage,
                    decode_s1ap)
 from .hss import Hss
 from .sgw import SgwPgw
+from .security import (NasSecurityContext, IntegrityError, DIR_UPLINK,
+                       DIR_DOWNLINK)
 
 
 class EmmState(Enum):
@@ -56,6 +58,7 @@ class MmeUeContext:
     kasme: bytes = b""
     guti: int = 0
     bearer = None
+    sec: NasSecurityContext = field(default_factory=NasSecurityContext)
 
 
 class Mme:
@@ -120,14 +123,22 @@ class Mme:
 
     def _uplink_nas(self, msg: UplinkNasTransport) -> list:
         ctx = self.ues[msg.mme_ue_id]
-        nas = decode_nas(msg.nas_pdu)
+        try:
+            plain = ctx.sec.unprotect(msg.nas_pdu, DIR_UPLINK)
+        except IntegrityError:
+            return []                  # reference: discard on MAC failure
+        nas = decode_nas(plain)
         if isinstance(nas, AuthenticationResponse):
             assert ctx.state == EmmState.AUTH_PENDING, ctx.state
             assert nas.res == ctx.xres, "authentication failure (RES!=XRES)"
             ctx.state = EmmState.SMC_PENDING
+            # NAS security activates with the SMC: the command itself is
+            # integrity-protected with the new context (nas_message.c)
+            ctx.sec.activate(ctx.kasme)
             return [DownlinkNasTransport(
                 mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
-                nas_pdu=SecurityModeCommand().pack()).pack()]
+                nas_pdu=ctx.sec.protect(SecurityModeCommand().pack(),
+                                        DIR_DOWNLINK)).pack()]
         if isinstance(nas, SecurityModeComplete):
             assert ctx.state == EmmState.SMC_PENDING, ctx.state
             ctx.state = EmmState.CTX_PENDING
@@ -141,7 +152,8 @@ class Mme:
             return [InitialContextSetupRequest(
                 mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
                 erab_id=5, sgw_teid_ul=ctx.bearer.sgw_teid_ul,
-                nas_pdu=accept.pack()).pack()]
+                nas_pdu=ctx.sec.protect(accept.pack(),
+                                        DIR_DOWNLINK)).pack()]
         if isinstance(nas, AttachComplete):
             assert ctx.state == EmmState.CTX_PENDING, ctx.state
             acc = decode_nas(nas.esm_container)

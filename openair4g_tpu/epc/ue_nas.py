@@ -33,13 +33,28 @@ class UeNas:
         self.ip = 0
         self.ebi = 0
         self.kasme = b""
+        from .security import NasSecurityContext
+        self.sec = NasSecurityContext()
 
     def attach_request(self) -> bytes:
         self.state = UeEmmState.ATTACHING
         return AttachRequest(imsi=self.imsi).pack()
 
     def handle_downlink(self, nas_pdu: bytes) -> bytes | None:
-        """DL NAS in -> optional UL NAS out."""
+        """DL NAS in -> optional UL NAS out. Integrity: the first secured
+        message (the SMC) activates the context from KASME; every later
+        message must pass the MAC check (epc/security.py EIA-lite)."""
+        from .security import SECURED_TAG, DIR_DOWNLINK, DIR_UPLINK
+        if nas_pdu and nas_pdu[0] == SECURED_TAG and not self.sec.active:
+            assert self.kasme, "secured NAS before authentication"
+            self.sec.activate(self.kasme)
+        nas_pdu = self.sec.unprotect(nas_pdu, DIR_DOWNLINK)
+        out = self._handle_plain(nas_pdu)
+        if out is not None:
+            out = self.sec.protect(out, DIR_UPLINK)
+        return out
+
+    def _handle_plain(self, nas_pdu: bytes) -> bytes | None:
         msg = decode_nas(nas_pdu)
         if isinstance(msg, AuthenticationRequest):
             # recompute from (K, RAND); verify the network via AUTN
