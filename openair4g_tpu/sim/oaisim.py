@@ -112,6 +112,11 @@ class OaisimConfig:
     ul_tx_power_db: float = 30.0     # UE TX power over noise at d_ref
     n_turbo_iter: int = 6
     n_harq_rounds: int = 1           # >1 enables HARQ in the emulator loop
+    duplex: str = "fdd"              # "fdd" | "tdd" (frame structure 2:
+    #   DL scheduling only on D subframes, UL pass only on U subframes,
+    #   per the 36.211 Table 4.2-2 direction mask — the reference's
+    #   subframe_select gating in phy_procedures_lte_common.c)
+    tdd_config: int = 1
     handover: bool = False           # RRC-level serving cell + A3-triggered
     #   X2 handover (rrc/handover.py ladder) instead of geometric argmax
     a3_offset_db: float = 3.0
@@ -145,6 +150,8 @@ class OaisimConfig:
             esm=emu.get("esm", "eesm"),
             mac=emu.get("mac", "rr"),
             handover=emu.get("handover", False),
+            duplex=emu.get("duplex", "fdd"),
+            tdd_config=emu.get("tdd_config", 1),
             ul_traffic=app.get("ul_traffic", False),
             ul_arrival_p=app.get("ul_arrival_p", 0.1),
             ul_bytes=app.get("ul_bytes", 600),
@@ -202,6 +209,11 @@ class Oaisim:
                           bits_ok=np.zeros(cfg.n_ue, np.int64),
                           retx=np.zeros(cfg.n_ue, np.int64))
         self._frame = 0
+        if cfg.duplex == "tdd":
+            from ..phy.tdd import TDD_PATTERNS
+            self._tdd_pattern = TDD_PATTERNS[cfg.tdd_config]
+        else:
+            self._tdd_pattern = None
         if cfg.handover:
             self._init_handover()
         # HARQ state (abstraction: accumulated effective SINR = chase
@@ -578,8 +590,17 @@ class Oaisim:
             serving_onehot = np.zeros((U, E), np.float32)
             serving_onehot[np.arange(U), self.serving] = 1.0
             for tti in range(10):
-                if cfg.ul_traffic:
+                # TDD gating: UL pass on U subframes, DL on D subframes
+                # (S carries neither data direction in the emulator)
+                direction = (self._tdd_pattern[tti % 10]
+                             if self._tdd_pattern else None)
+                if cfg.ul_traffic and direction in (None, "U"):
                     self._ul_tti(self._frame * 10 + tti)
+                if direction in ("U", "S"):
+                    self.stats.setdefault(
+                        "tti_skipped_dl", 0)
+                    self.stats["tti_skipped_dl"] += 1
+                    continue
                 sched = self._schedule(tti)
                 keys = jnp.asarray(host_keys(
                     cfg.seed + 1, U * E, stream=self._frame * 10 + tti))

@@ -77,11 +77,23 @@ class TddFrameSim:
                                               n_turbo_iter=cfg.n_turbo_iter))
         return self._dl[sf]
 
+    @staticmethod
+    def _valid_pusch_rb(n: int) -> int:
+        """Largest PUSCH allocation <= n whose size is 2^a*3^b*5^c RBs
+        (36.211 §5.3.3 transform-precoding constraint)."""
+        def ok(v):
+            for p in (2, 3, 5):
+                while v % p == 0:
+                    v //= p
+            return v == 1
+        return next(v for v in range(n, 0, -1) if ok(v))
+
     def _ul_pair(self, sf: int):
         if sf not in self._ul:
             cfg = self.cfg
             ue = UeTx(UeUlConfig(n_rb=cfg.n_rb, mcs=cfg.mcs_ul,
-                                 n_rb_alloc=max(cfg.n_rb - 2, 1),
+                                 n_rb_alloc=self._valid_pusch_rb(
+                                     max(cfg.n_rb - 2, 1)),
                                  rb_offset=1, rnti=cfg.rnti,
                                  n_id_cell=cfg.n_id_cell, subframe=sf,
                                  n_turbo_iter=cfg.n_turbo_iter))

@@ -34,6 +34,9 @@ _SLOW = {
     "test_fullsim.py::test_fullsim_harq_gain_fading",
     "test_si_rar_1c.py::test_rar_and_sib_via_dci_1c[2]",
     "test_sched_ul.py::test_ul_grant_harq_recovers_marginal_snr",
+    "test_tddsim.py::test_tdd_dl_bler_matches_fdd_point",
+    "test_tddsim.py::test_tdd_50prb_frame",
+    "test_paging.py::test_mt_attach_via_paging_over_the_air",
 }
 
 
