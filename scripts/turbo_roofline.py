@@ -1,0 +1,93 @@
+"""Turbo-decoder speed-of-light analysis (round-2 verdict item 6).
+
+Measures the decode stage split on the attached accelerator — windowed
+MAP sweeps (VPU elementwise) vs one-hot QPP permutations (MXU matmul) —
+and compares achieved throughput against first-principles ceilings:
+
+  VPU ceiling: ~200 f32 ops/bit/half-iteration (8 states x 2 preds x
+    add/mul/max for alpha, beta, extrinsic) x 2 half-iters x n_iter.
+  MXU ceiling: 2 K x K one-hot bf16 matmuls per iteration = 2*K MAC/bit
+    x n_iter (+1 decision reorder).
+
+Usage: python scripts/turbo_roofline.py [K] [batch] [n_iter]
+Writes turbo_roofline.json at the repo root.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openair4g_tpu.ops import turbo
+
+
+def timed(fn, *args, n=5):
+    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 1824
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    n_iter = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (B, K))
+    d = turbo.turbo_encode_host(bits)                   # [B, 3, K+4]
+    llr = jnp.asarray((1.0 - 2.0 * d) * 4.0, jnp.float32)
+
+    out = {"K": K, "batch": B, "n_iter": n_iter,
+           "backend": jax.default_backend()}
+
+    # full decode at n_iter and at 1 iteration -> per-iteration slope
+    for it in (n_iter, 1):
+        cfg = turbo.TurboDecoderConfig(K=K, F=0, n_iter=it, window=96,
+                                       warmup=32, crc_kind="crc24a")
+        f = jax.jit(lambda x, c=cfg: turbo.turbo_decode(x, c))
+        dt = timed(f, llr)
+        out[f"decode_{it}iter_ms"] = dt * 1e3
+        out[f"decode_{it}iter_mbps"] = B * K / dt / 1e6
+    per_iter = (out[f"decode_{n_iter}iter_ms"] - out["decode_1iter_ms"]) \
+        / (n_iter - 1)
+    out["per_iteration_ms"] = per_iter
+    out["fixed_overhead_ms"] = out["decode_1iter_ms"] - per_iter
+
+    # permutation alone (one interleave matmul)
+    x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    perm = jax.jit(lambda z: turbo._permute(z, K, False))
+    out["permute_ms"] = timed(perm, x) * 1e3
+
+    # one half-iteration alone (gamma + windowed alpha/beta + extrinsic)
+    lin = jnp.asarray(rng.normal(size=(B, K + 4)), jnp.float32)
+    lp = jnp.asarray(rng.normal(size=(B, K + 4)), jnp.float32)
+    half = jax.jit(lambda a, b: turbo._half_iteration_dispatch(a, b, 96, 32))
+    out["half_iteration_ms"] = timed(half, lin, lp) * 1e3
+
+    # first-principles ceilings (peak numbers are platform estimates:
+    # ~200 TFLOP/s bf16 MXU, ~5 TFLOP/s f32 VPU per chip)
+    vpu_flops_per_bit = 200 * 2 * n_iter
+    mxu_macs_per_bit = 2 * K * n_iter + K
+    out["vpu_ceiling_gbps"] = 5e12 / vpu_flops_per_bit / 1e9
+    out["mxu_ceiling_gbps"] = 200e12 / (2 * mxu_macs_per_bit) / 1e9
+    out["combined_ceiling_gbps"] = 1.0 / (
+        1.0 / out["vpu_ceiling_gbps"] + 1.0 / out["mxu_ceiling_gbps"])
+    out["achieved_gbps"] = out[f"decode_{n_iter}iter_mbps"] / 1e3
+    out["fraction_of_ceiling"] = out["achieved_gbps"] / \
+        out["combined_ceiling_gbps"]
+
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "turbo_roofline.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
