@@ -269,6 +269,9 @@ class RlcAm:
                 continue
             self._retx_count[sn] += 1
             if self._retx_count[sn] > self.max_retx:
+                from ..utils.log import LOG_W
+                LOG_W("RLC", "AM sn=%d exceeded maxRetx=%d -> RLF",
+                      sn, self.max_retx)
                 self.rlf = True             # reference: maxRetx -> RRC
             elif sn not in self._retx_q:
                 self._retx_q.append(sn)

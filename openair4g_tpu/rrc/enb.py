@@ -85,6 +85,9 @@ class RrcEnb:
                            state=UeState.WAIT_SETUP_COMPLETE,
                            setup_tti=self.tti)
         self.ues[crnti] = ctx
+        from ..utils.log import LOG_I
+        LOG_I("RRC", "ConnectionRequest id=%x -> C-RNTI %#x",
+              req.ue_identity, crnti)
         setup = RrcConnectionSetup(ue_identity=req.ue_identity)
         return crnti, setup.pack()
 
@@ -185,6 +188,9 @@ class RrcEnb:
         for crnti, ctx in list(self.ues.items()):
             if (ctx.state == UeState.WAIT_SETUP_COMPLETE and
                     self.tti - ctx.setup_tti > self.setup_timeout):
+                from ..utils.log import LOG_W
+                LOG_W("RRC", "C-RNTI %#x setup timeout -> context dropped",
+                      crnti)
                 del self.ues[crnti]
                 dropped.append(crnti)
         return dropped

@@ -173,10 +173,21 @@ def run_scenario(path_or_dict, n_frames: int | None = None) -> dict:
 
 class Oaisim:
     """System emulator: frames of 10 TTIs, host mobility/scheduling,
-    device PHY (abstraction or bit-level)."""
+    device PHY (abstraction or bit-level).
 
-    def __init__(self, cfg: OaisimConfig, bler_table: BlerTable | None = None):
+    Observability (openair2/UTIL/OPT + LOG parity): `pcap_path` captures
+    each scheduled TTI's MAC TB via utils/opt (bit-level TB bytes in phy
+    mode; an outcome record in abstraction mode), and the loop emits
+    LOG_I/LOG_D lines through utils/log (enable with
+    set_comp_log("SIM"/"MAC", "debug"))."""
+
+    def __init__(self, cfg: OaisimConfig, bler_table: BlerTable | None = None,
+                 pcap_path: str | None = None):
         self.cfg = cfg
+        self.pcap = None
+        if pcap_path is not None:
+            from ..utils.opt import PcapWriter
+            self.pcap = PcapWriter(pcap_path)
         self.fp = FrameParms(n_rb=cfg.n_rb)
         self.tbs = get_TBS_DL(cfg.mcs, cfg.n_rb)
         self.Qm = get_Qm(cfg.mcs)
@@ -609,6 +620,7 @@ class Oaisim:
                         self.taps, keys, jnp.asarray(self.p_rx),
                         jnp.asarray(serving_onehot), jnp.asarray(sched),
                         jnp.asarray(self.acc_eff))
+                    self._trace_tti(tti, sched, np.asarray(err))
                     self._harq_update(sched, np.asarray(err),
                                       np.asarray(eff))
                 else:
@@ -619,6 +631,8 @@ class Oaisim:
                         jnp.asarray(self.serving), jnp.asarray(sched),
                         self.wieners, self._phy_tb, self._phy_wsoft,
                         jnp.asarray(clear))
+                    self._trace_tti(tti, sched, np.asarray(err),
+                                    tb=np.asarray(self._phy_tb))
                     self._harq_update(sched, np.asarray(err), None)
             self._mobility_step()
             if cfg.handover:
@@ -626,6 +640,27 @@ class Oaisim:
                 self.serving = self.serving_rrc.copy()
             self._frame += 1
         return self.summary()
+
+    def _trace_tti(self, tti: int, sched: np.ndarray, err: np.ndarray,
+                   tb: np.ndarray | None = None) -> None:
+        """OPT/LOG hook for one TTI: pcap record per scheduled UE + a
+        debug log line (openair2/UTIL/OPT trace_pdu parity)."""
+        from ..utils.log import LOG_D
+        abs_tti = self._frame * 10 + tti
+        for u in np.nonzero(sched)[0]:
+            LOG_D("MAC", "tti=%d ue=%d cell=%d %s", abs_tti, u,
+                  int(self.serving[u]), "NACK" if err[u] else "ACK")
+            if self.pcap is None:
+                continue
+            from ..utils.opt import KIND_MAC, DIR_DL
+            if tb is not None:      # bit-level TB bytes (phy mode)
+                pdu = np.packbits(tb[int(self.serving[u])].astype(
+                    np.uint8)).tobytes()
+            else:                   # abstraction: outcome record
+                pdu = bytes([int(err[u])]) + int(self.tbs).to_bytes(
+                    4, "big")
+            self.pcap.write(pdu, tti=abs_tti, direction=DIR_DL,
+                            kind=KIND_MAC, rnti=int(u))
 
     def _phy_clear_mask(self, sched: np.ndarray) -> np.ndarray:
         """[E] 1.0 where the eNB starts a NEW TB this TTI: no open HARQ
