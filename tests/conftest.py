@@ -36,6 +36,7 @@ _SLOW = {
     "test_sched_ul.py::test_ul_grant_harq_recovers_marginal_snr",
     "test_tddsim.py::test_tdd_dl_bler_matches_fdd_point",
     "test_tddsim.py::test_tdd_50prb_frame",
+    "test_tddsim.py::test_tdd_25prb_frame",
     "test_paging.py::test_mt_attach_via_paging_over_the_air",
 }
 

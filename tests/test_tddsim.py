@@ -9,13 +9,13 @@ from openair4g_tpu.phy.tdd import TDD_PATTERNS, direction_mask
 
 
 def test_tdd_config1_full_frame_high_snr():
-    sim = TddFrameSim(TddsimConfig(tdd_config=1, batch=4))
+    sim = TddFrameSim(TddsimConfig(tdd_config=1, batch=2))
     out = sim.run_frame(12.0)
     # activity follows the DSUUDDSUUD pattern exactly
     assert [(s, d) for s, d, _ in out["log"]] == \
         [(i, c) for i, c in enumerate("DSUUDDSUUD")]
-    assert out["dl_ok"] == out["dl_tot"] == 4 * 4      # 4 D subframes
-    assert out["ul_ok"] == out["ul_tot"] == 4 * 4      # 4 U subframes
+    assert out["dl_ok"] == out["dl_tot"] == 4 * 2      # 4 D subframes
+    assert out["ul_ok"] == out["ul_tot"] == 4 * 2      # 4 U subframes
     # UpPTS SRS sounding works: wideband SNR estimate near the true 12 dB
     assert abs(out["srs"] - 12.0) < 4.0, out["srs"]
 
