@@ -28,6 +28,7 @@ class EnbUeS1Context:
     sgw_teid_ul: int = 0      # uplink tunnel (allocated by SGW)
     enb_teid_dl: int = 0      # downlink tunnel (we allocate)
     pending_nas: list = field(default_factory=list)   # NAS for the UE
+    security_key: bytes = b""  # K_eNB from InitialContextSetupRequest
 
 
 class EnbApp:
@@ -132,6 +133,7 @@ class EnbApp:
                 ctx.mme_ue_id = msg.mme_ue_id
                 ctx.erab_id = msg.erab_id
                 ctx.sgw_teid_ul = msg.sgw_teid_ul
+                ctx.security_key = msg.security_key
                 ctx.enb_teid_dl = self._next_teid
                 self._next_teid += 1
                 self.by_teid[ctx.enb_teid_dl] = ctx

@@ -149,11 +149,13 @@ class Mme:
             esm = ActivateDefaultBearerRequest(
                 ebi=5, pdn_ipv4=ctx.bearer.ue_ipv4)
             accept = AttachAccept(guti=ctx.guti, esm_container=esm.pack())
+            from .security import derive_k_enb
             return [InitialContextSetupRequest(
                 mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
                 erab_id=5, sgw_teid_ul=ctx.bearer.sgw_teid_ul,
                 nas_pdu=ctx.sec.protect(accept.pack(),
-                                        DIR_DOWNLINK)).pack()]
+                                        DIR_DOWNLINK),
+                security_key=derive_k_enb(ctx.kasme)).pack()]
         if isinstance(nas, AttachComplete):
             assert ctx.state == EmmState.CTX_PENDING, ctx.state
             acc = decode_nas(nas.esm_container)

@@ -116,6 +116,8 @@ class InitialContextSetupRequest:
     sgw_teid_ul: int = _f(4, default=0)
     sgw_addr: int = _f(4, default=0x0A000001)
     nas_pdu: bytes = _fb()
+    security_key: bytes = _fb()    # K_eNB (36.413 SecurityKey IE) — the
+    #   AS root key the eNB derives K_RRCint from (33.401 §A.7)
 
 
 @_s1ap_message(0x21)

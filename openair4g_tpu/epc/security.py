@@ -35,6 +35,19 @@ def derive_k_nas_int(kasme: bytes) -> bytes:
     return hashlib.sha256(kasme + b"nas-int").digest()[:16]
 
 
+def derive_k_enb(kasme: bytes) -> bytes:
+    """KASME -> K_eNB (33.401 §A.3 shape): the AS root key the MME hands
+    the eNB in S1AP InitialContextSetupRequest (36.413 SecurityKey IE)."""
+    return hashlib.sha256(kasme + b"k-enb").digest()[:16]
+
+
+def derive_k_rrc_int(k_enb: bytes) -> bytes:
+    """K_eNB -> K_RRCint (33.401 §A.7 shape): integrity key for SRB PDCP
+    MAC-I (the PDCP hook the reference exposes in pdcp.c ->
+    openair-cn/SECU EIA1/2)."""
+    return hashlib.sha256(k_enb + b"rrc-int").digest()[:16]
+
+
 class IntegrityError(ValueError):
     pass
 

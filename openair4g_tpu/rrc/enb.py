@@ -19,7 +19,9 @@ from .messages import (Sib1, Sib2, RrcConnectionRequest,
                        RrcConnectionReconfigurationComplete,
                        RrcConnectionRelease, MeasurementReport,
                        MobilityControlInfo, RrcHandoverCommand,
-                       HandoverPreparationInformation, decode_message)
+                       HandoverPreparationInformation,
+                       SecurityModeCommand, SecurityModeComplete,
+                       SecurityModeFailure, decode_message)
 
 
 class UeState(Enum):
@@ -41,6 +43,7 @@ class EnbUeContext:
     transaction_id: int = 0
     setup_tti: int = 0
     reports: list = field(default_factory=list)
+    as_secured: bool = False     # SecurityModeComplete received
 
 
 class RrcEnb:
@@ -109,7 +112,25 @@ class RrcEnb:
         if isinstance(msg, MeasurementReport):
             ctx.reports.append(msg)
             return None
+        if isinstance(msg, SecurityModeComplete):
+            ctx.as_secured = True
+            from ..utils.log import LOG_I
+            LOG_I("RRC", "C-RNTI %#x AS security activated", crnti)
+            return None
+        if isinstance(msg, SecurityModeFailure):
+            from ..utils.log import LOG_W
+            LOG_W("RRC", "C-RNTI %#x SecurityModeFailure", crnti)
+            return None
         raise ValueError(f"unexpected DCCH message {msg}")
+
+    def security_mode_command(self, crnti: int) -> bytes:
+        """Build the AS SecurityModeCommand for a connected UE
+        (rrc_eNB_generate_SecurityModeCommand). The caller activates its
+        SRB1 PDCP TX integrity with K_RRCint so this very message carries
+        the first valid MAC-I."""
+        ctx = self.ues[crnti]
+        assert ctx.state == UeState.CONNECTED, ctx.state
+        return SecurityModeCommand().pack()
 
     def reconfigure(self, crnti: int, transmission_mode: int | None = None,
                     srs_enable: bool = False, meas_enable: bool = False,

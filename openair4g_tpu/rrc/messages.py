@@ -338,3 +338,29 @@ class Paging:
     ue_identity: int = _f(40)
     cn_domain: int = _f(1, 1)          # 1 = PS
     system_info_modification: int = _f(1)
+
+
+@_rrc_message(0x1D)
+@dataclass
+class SecurityModeCommand:
+    """AS SecurityModeCommand (36.331 §6.2.2 / rrc_eNB.c
+    rrc_eNB_generate_SecurityModeCommand): selects the AS integrity +
+    ciphering algorithms; the message itself is the first SRB1 PDU carrying
+    a (valid) PDCP MAC-I, computed with the new K_RRCint."""
+    integrity_algo: int = _f(3, 2)     # 2 = EIA2(-lite stand-in)
+    ciphering_algo: int = _f(3, 0)     # 0 = EEA0 (SRBs stay unciphered)
+
+
+@_rrc_message(0x1E)
+@dataclass
+class SecurityModeComplete:
+    """UE answer once the AS keys are in place; integrity-protected."""
+    transaction_id: int = _f(2)
+
+
+@_rrc_message(0x1F)
+@dataclass
+class SecurityModeFailure:
+    """UE answer when the SMC's MAC-I check failed (sent unprotected,
+    36.331 §5.3.4.5)."""
+    transaction_id: int = _f(2)

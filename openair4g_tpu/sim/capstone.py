@@ -77,7 +77,9 @@ from ..rrc.ue import RrcUe, RrcState
 from ..rrc.messages import (Mib, Sib1, Sib2, RrcConnectionSetupComplete,
                             RrcConnectionReconfiguration,
                             DlInformationTransfer, UlInformationTransfer,
+                            SecurityModeCommand, SecurityModeComplete,
                             decode_message)
+from ..epc.security import derive_k_rrc_int
 from ..epc.hss import Hss
 from ..epc.mme import Mme
 from ..epc.sgw import SgwPgw
@@ -380,6 +382,13 @@ class UlAir:
         return _tb_to_bytes(tb_hat[0])
 
 
+def _srb_pdcp(direction: int) -> PdcpEntity:
+    """SRB1 PDCP entity (36.323 SRB profile: 5-bit SN, MAC-I trailer,
+    no ciphering). direction = own TX sense (0 UL / 1 DL)."""
+    return PdcpEntity(PdcpConfig(sn_bits=5, bearer=1, integrity=True,
+                                 direction=direction))
+
+
 @dataclass
 class UeStack:
     """UE-side protocol state above the PHY."""
@@ -390,11 +399,19 @@ class UeStack:
     drb: RlcUm | None = None
     pdcp_ul: PdcpEntity | None = None
     pdcp_dl: PdcpEntity | None = None
-    srb1_txq: list = field(default_factory=list)    # RRC SDUs for SRB1
+    srb_pdcp_tx: PdcpEntity = field(
+        default_factory=lambda: _srb_pdcp(direction=0))
+    srb_pdcp_rx: PdcpEntity = field(
+        default_factory=lambda: _srb_pdcp(direction=0))
+    srb1_txq: list = field(default_factory=list)    # PDCP PDUs for SRB1
     status_txq: list = field(default_factory=list)  # RLC status to send
     msg3: bytes | None = None
     crnti: int | None = None
     delivered_ip: list = field(default_factory=list)
+
+    def queue_srb1(self, rrc_sdu: bytes) -> None:
+        """RRC SDU -> SRB1 PDCP PDU -> RLC-AM tx queue."""
+        self.srb1_txq.append(self.srb_pdcp_tx.data_req(rrc_sdu))
 
     @property
     def sr_pending(self) -> bool:
@@ -434,6 +451,9 @@ class FullStackSim:
                               pcap=self.pcap)
         # eNB per-UE L2 (single UE)
         self.enb_srb1 = RlcAm(poll_every=2)
+        self.enb_srb_pdcp_tx = _srb_pdcp(direction=1)
+        self.enb_srb_pdcp_rx = _srb_pdcp(direction=1)
+        self._smc_sent = False
         self.enb_drb: RlcUm | None = None
         self.enb_pdcp_dl: PdcpEntity | None = None
         self.enb_pdcp_ul: PdcpEntity | None = None
@@ -476,6 +496,10 @@ class FullStackSim:
         if self.pcap is not None:
             self.pcap.write(pdu, tti=self.tti, direction=direction,
                             kind=KIND_MAC, rnti=rnti)
+
+    def _enb_queue_srb1(self, rrc_sdu: bytes) -> None:
+        """eNB RRC SDU -> SRB1 PDCP PDU -> RLC-AM tx queue."""
+        self.enb_srb1_txq.append(self.enb_srb_pdcp_tx.data_req(rrc_sdu))
 
     # -------------------------------------------------------------- camp --
     def cold_sync(self) -> bool:
@@ -651,7 +675,7 @@ class FullStackSim:
                     # attach the initial NAS (dedicatedInfoNAS ride)
                     sc = decode_message(resp)
                     sc.dedicated_info_nas = ue.nas.attach_request()
-                    ue.srb1_txq.append(sc.pack())
+                    ue.queue_srb1(sc.pack())
                     self._ev("UE queued SetupComplete + NAS AttachRequest")
             elif lcid == LCID_SRB1:
                 rlc = unpack_am(payload)
@@ -662,7 +686,12 @@ class FullStackSim:
                 st = ue.srb1.rx_pdu(rlc)
                 if st is not None:
                     ue.status_txq.append(st)
-                for sdu in ue.srb1.delivered[n0:]:
+                for pdcp_pdu in ue.srb1.delivered[n0:]:
+                    sdu = ue.srb_pdcp_rx.data_ind(pdcp_pdu)
+                    if sdu is None:
+                        LOG_W("PDCP", "UE SRB1 PDU discarded "
+                              "(integrity/duplicate)")
+                        continue
                     self._ue_dcch(sdu)
             elif lcid == LCID_DRB and ue.drb is not None:
                 n0 = len(ue.drb.delivered)
@@ -678,12 +707,28 @@ class FullStackSim:
     def _ue_dcch(self, sdu: bytes):
         ue = self.ue
         msg = decode_message(sdu)
+        if isinstance(msg, SecurityModeCommand):
+            # The SMC arrived with a valid MAC-I (PDCP flipped rx to "on");
+            # activate TX protection and confirm (36.331 §5.3.4.3).
+            from ..epc.security import derive_k_enb
+            k_int = derive_k_rrc_int(derive_k_enb(ue.nas.kasme))
+            ue.srb_pdcp_tx.activate_tx(k_int)
+            ue.queue_srb1(SecurityModeComplete().pack())
+            self._ev("UE AS security activated (SRB1 MAC-I both ways)")
+            self._mrec("UE", "eNB", "SecurityModeComplete")
+            return
         if isinstance(msg, DlInformationTransfer):
             self._mrec("eNB", "UE", "DLInformationTransfer(NAS)")
             resp = ue.nas.handle_downlink(msg.dedicated_info_nas)
             self._ev(f"UE NAS handled DL ({ue.nas.state.name})")
+            if ue.nas.kasme and ue.srb_pdcp_rx._rx_state == "off":
+                # KASME in place after authentication: pre-derive the AS
+                # integrity key so the upcoming protected SMC verifies
+                from ..epc.security import derive_k_enb
+                ue.srb_pdcp_rx.arm_rx(
+                    derive_k_rrc_int(derive_k_enb(ue.nas.kasme)))
             if resp is not None:
-                ue.srb1_txq.append(UlInformationTransfer(
+                ue.queue_srb1(UlInformationTransfer(
                     dedicated_info_nas=resp).pack())
         elif isinstance(msg, RrcConnectionReconfiguration):
             resp = ue.rrc.on_dcch(sdu)
@@ -696,11 +741,11 @@ class FullStackSim:
                                                    ciphering="xor"))
                 self._ev("UE DRB established (RLC-UM + PDCP)")
             if resp is not None:
-                ue.srb1_txq.append(resp)
+                ue.queue_srb1(resp)
         else:
             resp = ue.rrc.on_dcch(sdu)
             if resp is not None:
-                ue.srb1_txq.append(resp)
+                ue.queue_srb1(resp)
 
     def _expected_ra_rnti(self) -> int:
         return ra_rnti(self.cfg.prach_sf)
@@ -777,7 +822,12 @@ class FullStackSim:
                 st = self.enb_srb1.rx_pdu(rlc)
                 if st is not None:
                     self.enb_status_txq.append(st)
-                for sdu in self.enb_srb1.delivered[n0:]:
+                for pdcp_pdu in self.enb_srb1.delivered[n0:]:
+                    sdu = self.enb_srb_pdcp_rx.data_ind(pdcp_pdu)
+                    if sdu is None:
+                        LOG_W("PDCP", "eNB SRB1 PDU discarded "
+                              "(integrity/duplicate)")
+                        continue
                     self._enb_dcch(sdu)
             elif lcid == LCID_DRB and self.enb_drb is not None:
                 n0 = len(self.enb_drb.delivered)
@@ -803,16 +853,30 @@ class FullStackSim:
         else:
             resp = self.enb_rrc.handle_dcch(crnti, sdu)
             if resp is not None:
-                self.enb_srb1_txq.append(resp)
-        # drain NAS toward the UE + set up the DRB once the bearer exists
+                self._enb_queue_srb1(resp)
+        # AS security: once InitialContextSetup delivered K_eNB, the SMC
+        # goes out FIRST (before the piggybacked NAS / reconfiguration),
+        # protected with the new K_RRCint — rrc_eNB SMC before
+        # defaultRRCConnectionReconfiguration (33.401 §7.2.4.5)
         ctx = self.enb_app.by_crnti.get(crnti)
+        if (ctx and ctx.security_key and not self._smc_sent
+                and self.enb_rrc.ues[crnti].state == UeState.CONNECTED):
+            self._smc_sent = True
+            k_int = derive_k_rrc_int(ctx.security_key)
+            smc = self.enb_rrc.security_mode_command(crnti)
+            self.enb_srb_pdcp_tx.activate_tx(k_int)
+            self.enb_srb_pdcp_rx.arm_rx(k_int)
+            self._enb_queue_srb1(smc)
+            self._ev("eNB queued AS SecurityModeCommand (SRB1 MAC-I on)")
+            self._mrec("eNB", "UE", "SecurityModeCommand (SRB1, MAC-I)")
+        # drain NAS toward the UE + set up the DRB once the bearer exists
         for nas in (self.enb_app.poll_nas(crnti) if ctx else []):
-            self.enb_srb1_txq.append(DlInformationTransfer(
+            self._enb_queue_srb1(DlInformationTransfer(
                 dedicated_info_nas=nas).pack())
         if (ctx and ctx.sgw_teid_ul and not self._reconf_sent
                 and self.enb_rrc.ues[crnti].state == UeState.CONNECTED):
             self._reconf_sent = True
-            self.enb_srb1_txq.append(self.enb_rrc.reconfigure(
+            self._enb_queue_srb1(self.enb_rrc.reconfigure(
                 crnti, drb_add=True))
             self.enb_drb = RlcUm()
             self.enb_pdcp_dl = PdcpEntity(PdcpConfig(bearer=1,
@@ -941,10 +1005,21 @@ class FullStackSim:
 
         echo_ok = bool(self.ue.delivered_ip
                        and self.ue.delivered_ip[0] == ip_payload)
+        crnti = self._crnti
+        as_secured = bool(crnti is not None
+                          and crnti in self.enb_rrc.ues
+                          and self.enb_rrc.ues[crnti].as_secured)
         result = dict(
             registered=self.ue.nas.state == UeEmmState.REGISTERED,
             mme_registered=self._mme_registered(),
             rrc_connected=self.ue.rrc.state == RrcState.CONNECTED,
+            as_secured=as_secured,
+            srb_integrity_on=bool(
+                self.ue.srb_pdcp_tx.integrity_on
+                and self.ue.srb_pdcp_rx._rx_state == "on"
+                and self.enb_srb_pdcp_rx._rx_state == "on"),
+            srb_int_failures=(self.ue.srb_pdcp_rx.int_failures
+                              + self.enb_srb_pdcp_rx.int_failures),
             echo_ok=echo_ok,
             ue_ip=self.ue.nas.ip,
             ttis=self.tti,

@@ -26,13 +26,22 @@ import jax.numpy as jnp
 from openair4g_tpu.ops import turbo
 
 
+def _force(out):
+    """Honest completion barrier: the axon tunnel's block_until_ready can
+    return before compute finishes — materialize one element to host."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def timed(fn, *args, n=5):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / n
+    _force(fn(*args))                       # compile + settle
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        _force(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():
@@ -40,21 +49,25 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     n_iter = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     rng = np.random.default_rng(0)
-    bits = rng.integers(0, 2, (B, K))
-    d = turbo.turbo_encode_host(bits)                   # [B, 3, K+4]
+    d1 = turbo.turbo_encode_host(rng.integers(0, 2, K))    # [3, K+4]
+    d = np.broadcast_to(d1, (B,) + d1.shape)
     llr = jnp.asarray((1.0 - 2.0 * d) * 4.0, jnp.float32)
 
     out = {"K": K, "batch": B, "n_iter": n_iter,
            "backend": jax.default_backend()}
 
     # full decode at n_iter and at 1 iteration -> per-iteration slope
+    # (every benched fn reduces to a scalar ON DEVICE: materializing a
+    # full [B, K] output would time the ~50 MB/s tunnel, not the chip)
     for it in (n_iter, 1):
         cfg = turbo.TurboDecoderConfig(K=K, F=0, n_iter=it, window=96,
                                        warmup=32, crc_kind="crc24a")
-        f = jax.jit(lambda x, c=cfg: turbo.turbo_decode(x, c))
+        f = jax.jit(lambda x, c=cfg: jnp.sum(turbo.turbo_decode(x, c)[0]))
         dt = timed(f, llr)
         out[f"decode_{it}iter_ms"] = dt * 1e3
         out[f"decode_{it}iter_mbps"] = B * K / dt / 1e6
+        print(f"decode {it} iter: {dt*1e3:.2f} ms "
+              f"({out[f'decode_{it}iter_mbps']:.1f} Mbit/s)", flush=True)
     per_iter = (out[f"decode_{n_iter}iter_ms"] - out["decode_1iter_ms"]) \
         / (n_iter - 1)
     out["per_iteration_ms"] = per_iter
@@ -62,14 +75,24 @@ def main():
 
     # permutation alone (one interleave matmul)
     x = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
-    perm = jax.jit(lambda z: turbo._permute(z, K, False))
+    perm = jax.jit(lambda z: jnp.sum(turbo._permute(z, K, False)))
     out["permute_ms"] = timed(perm, x) * 1e3
 
-    # one half-iteration alone (gamma + windowed alpha/beta + extrinsic)
-    lin = jnp.asarray(rng.normal(size=(B, K + 4)), jnp.float32)
-    lp = jnp.asarray(rng.normal(size=(B, K + 4)), jnp.float32)
-    half = jax.jit(lambda a, b: turbo._half_iteration_dispatch(a, b, 96, 32))
+    # one half-iteration alone (gamma + windowed alpha/beta + extrinsic);
+    # N must be padded to a window multiple, as turbo_decode does
+    N = turbo._padded_len(K + 3, 96)
+    lin = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    lp = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    half = jax.jit(
+        lambda a, b: jnp.sum(turbo._half_iteration_dispatch(a, b, 96, 32)))
     out["half_iteration_ms"] = timed(half, lin, lp) * 1e3
+    halfx = jax.jit(
+        lambda a, b: jnp.sum(turbo._half_iteration(a, b, 96, 32)))
+    out["half_iteration_xla_ms"] = timed(halfx, lin, lp) * 1e3
+    crc = turbo._make_crc_checker(K, "crc24a")
+    bits = jnp.asarray(rng.integers(0, 2, (B, K)), jnp.int32)
+    crcf = jax.jit(lambda b_: jnp.sum(crc(b_)))
+    out["crc_check_ms"] = timed(crcf, bits) * 1e3
 
     # first-principles ceilings (peak numbers are platform estimates:
     # ~200 TFLOP/s bf16 MXU, ~5 TFLOP/s f32 VPU per chip)

@@ -27,6 +27,14 @@ def test_full_stack_over_the_air(tmp_path):
     assert res["rrc_connected"]
     assert res["echo_ok"], "IP echo did not traverse the user plane"
     assert res["ue_ip"] != 0
+    # AS security: SMC rode SRB1 over the PHY, MAC-I verified both ways
+    assert res["as_secured"], "eNB never saw SecurityModeComplete"
+    assert res["srb_integrity_on"]
+    assert res["srb_int_failures"] == 0
+    events = [ev for _, ev in res["trace"]]
+    assert next(i for i, e in enumerate(events)
+                if "SecurityModeCommand" in e) < \
+        next(i for i, e in enumerate(events) if "AS security activated" in e)
     # everything went over the PHY: sync + SIBs + RA + NAS + data
     assert res["phy_runs"]["prach"] >= 1
     assert res["phy_runs"]["dl"] >= 10
