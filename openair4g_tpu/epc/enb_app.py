@@ -54,7 +54,9 @@ class EnbApp:
         self.by_enb_ue_id: dict[int, EnbUeS1Context] = {}
         self.by_teid: dict[int, EnbUeS1Context] = {}
         self._next_ue_id = 1
-        self._next_teid = 0x2000
+        # DL TEIDs are eNB-allocated: offset by enb_id so eNBs sharing
+        # one SGW never collide (32-bit TEID space, 36.413 §9.2.2.1)
+        self._next_teid = 0x2000 + ((enb_id & 0xFFFF) << 16)
         self.pending_pages: list[int] = []
         self.s1_up = False
         self._s1_setup()
@@ -203,11 +205,17 @@ class EnbApp:
         assert resp is None
 
     def poll_downlink_user(self) -> list:
-        """Drain SGW downlink queue -> [(crnti, ip_pkt)] for PDCP DL."""
-        out = []
+        """Drain OUR tunnels from the SGW downlink queue ->
+        [(crnti, ip_pkt)] for PDCP DL; PDUs addressed to another eNB's
+        TEIDs stay queued (several eNBs share one SGW)."""
+        out, keep = [], []
         for pdu in self.sgw.dl_queue:
             msg_type, teid, payload = gtpu_decap(pdu)
             assert msg_type == GTPU_GPDU
-            out.append((self.by_teid[teid].crnti, payload))
-        self.sgw.dl_queue = []
+            ctx = self.by_teid.get(teid)
+            if ctx is None:
+                keep.append(pdu)
+                continue
+            out.append((ctx.crnti, payload))
+        self.sgw.dl_queue = keep
         return out

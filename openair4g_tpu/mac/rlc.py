@@ -217,16 +217,18 @@ class RlcAm:
     RRC)."""
 
     def __init__(self, sn_bits: int = 10, max_retx: int = 4,
-                 poll_every: int = 8):
+                 poll_every: int = 8, t_poll_retransmit: int = 24):
         self.mod = 1 << sn_bits
         self.max_retx = max_retx
         self.poll_every = poll_every
+        self.t_poll_retransmit = t_poll_retransmit
         self.vt_s = 0                       # next new SN
         self.vt_a = 0                       # oldest unacked SN
         self._sent: dict[int, AmPdu] = {}
         self._retx_count: dict[int, int] = {}
         self._retx_q: list[int] = []
         self._pdus_since_poll = 0
+        self._poll_timer = -1               # t-PollRetransmit (36.322)
         self.rlf = False
         # RX side
         self.vr_r = 0
@@ -239,6 +241,7 @@ class RlcAm:
         if self._retx_q:
             sn = self._retx_q.pop(0)
             pdu = self._sent[sn]
+            self._poll_timer = self.t_poll_retransmit
             return AmPdu(sn=sn, is_retx=True, payload=pdu.payload,
                          poll=True)
         if sdu is None:
@@ -247,6 +250,10 @@ class RlcAm:
         poll = self._pdus_since_poll >= self.poll_every
         if poll:
             self._pdus_since_poll = 0
+        # t-PollRetransmit arms on every send: 36.322 §5.2.2 also polls
+        # when the buffers empty (the "last PDU" rule) — an un-polled
+        # final PDU lost on the air must still be recoverable
+        self._poll_timer = self.t_poll_retransmit
         pdu = AmPdu(sn=self.vt_s, is_retx=False, payload=sdu, poll=poll)
         self._sent[self.vt_s] = pdu
         self._retx_count[self.vt_s] = 0
@@ -275,6 +282,32 @@ class RlcAm:
                 self.rlf = True             # reference: maxRetx -> RRC
             elif sn not in self._retx_q:
                 self._retx_q.append(sn)
+        if not self._sent:
+            self._poll_timer = -1           # everything acknowledged
+
+    def tick(self) -> None:
+        """One TTI: t-PollRetransmit countdown (36.322 §5.2.2.3). On
+        expiry with data still unacknowledged, the oldest outstanding
+        PDU is retransmitted with a fresh poll — this is what recovers
+        the link when the polled PDU or the status report itself was
+        lost on the air."""
+        if self._poll_timer < 0:
+            return
+        self._poll_timer -= 1
+        if self._poll_timer > 0 or not self._sent:
+            if not self._sent:
+                self._poll_timer = -1
+            return
+        sn = min(self._sent, key=lambda s: (s - self.vt_a) % self.mod)
+        self._retx_count[sn] += 1
+        if self._retx_count[sn] > self.max_retx:
+            from ..utils.log import LOG_W
+            LOG_W("RLC", "AM sn=%d exceeded maxRetx=%d (t-PollRetransmit)"
+                  " -> RLF", sn, self.max_retx)
+            self.rlf = True
+        elif sn not in self._retx_q:
+            self._retx_q.append(sn)
+        self._poll_timer = self.t_poll_retransmit
 
     # ------------------------------------------------------------------ RX --
     def rx_pdu(self, pdu: AmPdu) -> StatusPdu | None:

@@ -75,15 +75,28 @@ class RrcEnb:
         return None
 
     # ------------------------------------------------------- CCCH (SRB0) --
-    def handle_ccch(self, msg3: bytes) -> tuple[int, bytes]:
+    def reserve_crnti(self) -> int:
+        """Pre-allocate a C-RNTI at RAR time (the T-CRNTI the MAC promises
+        in the RAR grant, 36.321 §5.1.4); pass it back to handle_ccch so
+        Msg3 processing binds the same value even when several RA
+        procedures are in flight."""
+        crnti = self._next_crnti
+        # wrap before the reserved space (RA-RNTI low range is <0x3D;
+        # P/SI/M-RNTI live at 0xFFFD+): stay in [0x100, 0xFFF0)
+        nxt = self._next_crnti + 1
+        self._next_crnti = 0x100 if nxt >= 0xFFF0 else nxt
+        return crnti
+
+    def handle_ccch(self, msg3: bytes,
+                    crnti: int | None = None) -> tuple[int, bytes]:
         """RRCConnectionRequest -> allocate C-RNTI, return (crnti, Msg4).
 
         The Msg4 RRCConnectionSetup echoes the 40-bit UE identity — the
         MAC contention-resolution rule (36.321 §5.1.5) rides on that."""
         req = decode_message(msg3)
         assert isinstance(req, RrcConnectionRequest), req
-        crnti = self._next_crnti
-        self._next_crnti = (self._next_crnti + 1) & 0xFFF0 or 0x100
+        if crnti is None:
+            crnti = self.reserve_crnti()
         ctx = EnbUeContext(crnti=crnti, ue_identity=req.ue_identity,
                            state=UeState.WAIT_SETUP_COMPLETE,
                            setup_tti=self.tti)

@@ -994,6 +994,8 @@ class FullStackSim:
             # timers
             self.enb_rrc.tick()
             self.ue.rrc.tick()
+            self.ue.srb1.tick()
+            self.enb_srb1.tick()
             if self.ue.drb is not None:
                 self.ue.drb.tick()
             if self.enb_drb is not None:
