@@ -12,6 +12,18 @@ columns. Grid = lane tiles; per tile:
   1. backward sweep: beta_t stored to a [T, 8, 128] VMEM scratch,
   2. forward sweep: alpha in registers, LLR emitted on the fly using the
      stored beta — one pass, zero HBM traffic between trellis steps.
+
+Throughput structure (round-3 speed-of-light work): the trellis loops
+unroll R=8 steps per fori iteration — at ~160 vector ops per trellis
+step the per-iteration loop sequencing dominated the un-unrolled kernel
+— and metric normalization runs once per R-block instead of every step
+(max-log metrics are offset-invariant: a common per-node offset cancels
+in the LLR max-difference, so normalization is purely f32 range control;
+drift over 8 steps is bounded by 8*max|gamma| ~ 1.6e5, keeping the ulp
+~0.016, far below LLR resolution). The forward pass is split into a
+warmup-only loop (t < U) and a work loop (t >= U) so the per-step
+pl.when branch disappears; the window-0 exact-start override happens
+once between them.
 """
 from __future__ import annotations
 
@@ -25,29 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import turbo as _t
 
-LANES = 1024   # 8 vregs wide: amortizes fori overhead within the VMEM budget
+LANES = 1024   # 8 vregs wide: amortizes loop overhead within VMEM budget
 NEG = _t.NEG
 
 
-# Static trellis wiring as whole-[8, L] sublane permutations + [8, 1] sign
-# masks: every op touches the full vreg (8 sublanes x 128 lanes) instead of
-# one sublane row at a time. Pallas kernels may not capture array constants,
-# so permutations/signs are rebuilt inside the trace from python scalars.
-_PRED0 = tuple(int(v) for v in _t.PRED_S[:, 0])
-_PRED1 = tuple(int(v) for v in _t.PRED_S[:, 1])
-_SGNU0 = tuple(1.0 - 2.0 * float(v) for v in _t.PRED_U[:, 0])
-_SGNU1 = tuple(1.0 - 2.0 * float(v) for v in _t.PRED_U[:, 1])
-_SGNZ0 = tuple(1.0 - 2.0 * float(v) for v in _t.PRED_Z[:, 0])
-_SGNZ1 = tuple(1.0 - 2.0 * float(v) for v in _t.PRED_Z[:, 1])
-_NEXT0 = tuple(int(v) for v in _t.NEXT_STATE[:, 0])
-_NEXT1 = tuple(int(v) for v in _t.NEXT_STATE[:, 1])
-_BSGNZ0 = tuple(1.0 - 2.0 * float(v) for v in _t.PARITY[:, 0])
-_BSGNZ1 = tuple(1.0 - 2.0 * float(v) for v in _t.PARITY[:, 1])
+def _pick_unroll(T: int, U: int) -> int:
+    for r in (8, 4, 2):
+        if T % r == 0 and U % r == 0:
+            return r
+    return 1
 
 
 def _beta_step(beta, gu, gp):
-    """beta [8, L], gu/gp [L] -> beta at the previous node (row ops over
-    the 8 states; lanes saturate the VPU at wide tile widths)."""
+    """beta = list of 8 [L] rows -> the previous node's rows (static
+    trellis wiring as Python indexing; every op is a full-width vreg op,
+    no sublane shuffles)."""
     new = []
     for s in range(8):
         c = []
@@ -57,10 +61,7 @@ def _beta_step(beta, gu, gp):
             sz = 1.0 - 2.0 * float(_t.PARITY[s, u])
             c.append(beta[nx] + su * gu + sz * gp)
         new.append(jnp.maximum(c[0], c[1]))
-    m = new[0]
-    for s in range(1, 8):
-        m = jnp.maximum(m, new[s])
-    return jnp.stack([x - m for x in new])
+    return new
 
 
 def _alpha_step(alpha, gu, gp):
@@ -73,35 +74,55 @@ def _alpha_step(alpha, gu, gp):
             sz = 1.0 - 2.0 * float(_t.PRED_Z[s, j])
             c.append(alpha[pr] + su * gu + sz * gp)
         new.append(jnp.maximum(c[0], c[1]))
-    m = new[0]
+    return new
+
+
+def _normalize(rows):
+    m = rows[0]
     for s in range(1, 8):
-        m = jnp.maximum(m, new[s])
-    return jnp.stack([x - m for x in new])
+        m = jnp.maximum(m, rows[s])
+    return [x - m for x in rows]
 
 
 def _make_kernel(T: int, W: int, U: int):
+    R = _pick_unroll(T, U)
+
     def kernel(guf_ref, gpf_ref, gub_ref, gpb_ref, win0_ref, out_ref,
                beta_scr):
         win0 = win0_ref[0, :] > 0.5                       # [L]
-        state_ids = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-        exact0 = jnp.where(state_ids == 0, 0.0, NEG)      # [8, L]
+        zeros8 = tuple(jnp.zeros((LANES,), jnp.float32) for _ in range(8))
 
         # ---- backward sweep: beta at node t into scratch ----------------
-        def bwd(i, beta):
-            t = T - 1 - i
-            beta = _beta_step(beta, gub_ref[t, :], gpb_ref[t, :])
-            beta_scr[t] = beta
-            return beta
+        def bwd(i, beta_flat):
+            beta = list(beta_flat)
+            for r in range(R):
+                t = T - 1 - (i * R + r)
+                beta = _beta_step(beta, gub_ref[t, :], gpb_ref[t, :])
+                beta_scr[t] = jnp.stack(beta)
+            return tuple(_normalize(beta))
 
-        jax.lax.fori_loop(0, T, bwd, jnp.zeros((8, LANES), jnp.float32))
+        jax.lax.fori_loop(0, T // R, bwd, zeros8)
 
-        # ---- forward sweep + fused LLR ----------------------------------
-        def fwd(t, alpha):
-            alpha = jnp.where((t == U) & win0[None, :], exact0, alpha)
+        # ---- forward warmup (t < U): alpha only -------------------------
+        def warm(i, alpha_flat):
+            alpha = list(alpha_flat)
+            for r in range(R):
+                t = i * R + r
+                alpha = _alpha_step(alpha, guf_ref[t, :], gpf_ref[t, :])
+            return tuple(_normalize(alpha))
 
-            @pl.when(t >= U)
-            def _():
-                tau = t - U                               # real node index
+        alpha0 = jax.lax.fori_loop(0, U // R, warm, zeros8)
+
+        # window 0 starts at the true trellis head: exact state-0 init
+        alpha0 = tuple(
+            jnp.where(win0, 0.0 if s == 0 else NEG, alpha0[s])
+            for s in range(8))
+
+        # ---- forward work (t >= U): alpha + fused LLR -------------------
+        def work(i, alpha_flat):
+            alpha = list(alpha_flat)
+            for r in range(R):
+                tau = i * R + r               # node index within window
                 gu_n = gub_ref[tau, :]
                 gp_n = gpb_ref[tau, :]
                 beta_next = beta_scr[tau + 1]             # [8, L]
@@ -115,10 +136,11 @@ def _make_kernel(T: int, W: int, U: int):
                         m = c if m is None else jnp.maximum(m, c)
                     ms.append(m)
                 out_ref[tau, :] = (ms[0] + gu_n) - (ms[1] - gu_n)
+                alpha = _alpha_step(alpha, guf_ref[U + tau, :],
+                                    gpf_ref[U + tau, :])
+            return tuple(_normalize(alpha))
 
-            return _alpha_step(alpha, guf_ref[t, :], gpf_ref[t, :])
-
-        jax.lax.fori_loop(0, T, fwd, jnp.zeros((8, LANES), jnp.float32))
+        jax.lax.fori_loop(0, W // R, work, alpha0)
 
     return kernel
 

@@ -26,6 +26,8 @@ import pytest  # noqa: E402
 # `-m ""` runs everything.
 _SLOW = {
     "test_observability.py::test_calibrated_table_matches_full_phy",
+    "test_tddsim.py::test_tdd_config1_full_frame_high_snr",
+    "test_fullsim.py::test_single_subframe_receive_noiseless",
     "test_tddsim.py::test_tdd_bler_point_low_snr",
     "test_tddsim.py::test_tdd_config2_dl_heavy",
     "test_bler_anchor.py::test_etu_harq_gain_ordering",
