@@ -87,3 +87,25 @@ def test_pallas_half_iteration_matches_xla():
     # magnitudes are O(1..10), so 0.05 absolute is decode-irrelevant
     np.testing.assert_allclose(out[:, interior], ref[:, interior],
                                rtol=1e-3, atol=0.05)
+
+
+def test_pallas_closed_form_trellis_matches_tables():
+    """The kernel's iota-derived trellis wiring (turbo_pallas docstring
+    formulas) must equal the table build in ops/turbo._trellis."""
+    from openair4g_tpu.ops import turbo as t
+    s = np.arange(8)
+    for u in (0, 1):
+        a = (u ^ (s >> 1) ^ s) & 1
+        np.testing.assert_array_equal((a << 2) | (s >> 1),
+                                      t.NEXT_STATE[:, u])
+        np.testing.assert_array_equal((u ^ (s >> 2) ^ (s >> 1)) & 1,
+                                      t.PARITY[:, u])
+    for sp in range(8):
+        mine = []
+        for j in (0, 1):
+            u0 = (((sp >> 2) ^ sp) & 1) ^ j
+            z0 = (((sp >> 2) ^ (sp >> 1)) & 1) ^ j
+            mine.append((2 * (sp & 3) + j, u0, z0))
+        ref = [(int(t.PRED_S[sp, j]), int(t.PRED_U[sp, j]),
+                int(t.PRED_Z[sp, j])) for j in (0, 1)]
+        assert sorted(mine) == sorted(ref), sp
