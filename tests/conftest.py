@@ -19,9 +19,9 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
-# Heaviest Monte-Carlo variants (>12s each on CPU, ~6 min total): marked slow
+# Heaviest Monte-Carlo variants (>12s each on CPU, ~7 min total): marked slow
 # so the default run (`pytest tests/ -x -q`, pytest.ini deselects them)
-# finishes well inside a 10-min budget while still covering every feature
+# finishes in ~14 min on this image's CPU while still covering every feature
 # with a faster sibling test. `pytest tests/ -m slow` runs just these;
 # `-m ""` runs everything.
 _SLOW = {
