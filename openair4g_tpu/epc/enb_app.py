@@ -58,6 +58,7 @@ class EnbApp:
         # one SGW never collide (32-bit TEID space, 36.413 §9.2.2.1)
         self._next_teid = 0x2000 + ((enb_id & 0xFFFF) << 16)
         self.pending_pages: list[int] = []
+        self._parting_nas: dict[int, list] = {}
         self.s1_up = False
         self._s1_setup()
 
@@ -85,21 +86,24 @@ class EnbApp:
         self.s1_up = True
 
     # ------------------------------------------------------ NAS transport --
-    def initial_ue_message(self, crnti: int, nas_pdu: bytes) -> None:
+    def initial_ue_message(self, crnti: int, nas_pdu: bytes,
+                           s_tmsi: int = 0) -> None:
         """First NAS from a newly RRC-connected UE (rides
-        RRCConnectionSetupComplete's dedicatedInfoNAS in the reference)."""
+        RRCConnectionSetupComplete's dedicatedInfoNAS in the reference).
+        `s_tmsi` != 0 identifies a returning idle UE (ServiceRequest /
+        TAU) so the MME can find its live security context."""
         ctx = EnbUeS1Context(enb_ue_id=self._next_ue_id, crnti=crnti)
         self._next_ue_id += 1
         self.by_crnti[crnti] = ctx
         self.by_enb_ue_id[ctx.enb_ue_id] = ctx
-        self._mrec("eNB", "MME", "InitialUEMessage(AttachRequest)")
+        self._mrec("eNB", "MME", "InitialUEMessage")
         if self.pcap is not None:
             from ..utils.opt import KIND_NAS, DIR_UL
             self.pcap.write(nas_pdu, kind=KIND_NAS, direction=DIR_UL,
                             rnti=crnti)
         self._dispatch(self.mme.handle_s1ap(
             InitialUeMessage(enb_ue_id=ctx.enb_ue_id,
-                             nas_pdu=nas_pdu).pack()))
+                             nas_pdu=nas_pdu, s_tmsi=s_tmsi).pack()))
 
     def uplink_nas(self, crnti: int, nas_pdu: bytes) -> None:
         ctx = self.by_crnti[crnti]
@@ -115,9 +119,15 @@ class EnbApp:
 
     def poll_nas(self, crnti: int) -> list:
         """Drain NAS PDUs queued for a UE (RRC DLInformationTransfer /
-        the AttachAccept inside RRCConnectionReconfiguration)."""
-        out = self.by_crnti[crnti].pending_nas
-        self.by_crnti[crnti].pending_nas = []
+        the AttachAccept inside RRCConnectionReconfiguration). NAS that
+        was in flight when the UE context released (e.g. the
+        DetachAccept) is delivered from the parting buffer — the real
+        eNB sends it before RRCConnectionRelease."""
+        ctx = self.by_crnti.get(crnti)
+        if ctx is None:
+            return self._parting_nas.pop(crnti, [])
+        out = ctx.pending_nas
+        ctx.pending_nas = []
         return out
 
     def _dispatch(self, pdus: list) -> None:
@@ -139,7 +149,8 @@ class EnbApp:
                 ctx.enb_teid_dl = self._next_teid
                 self._next_teid += 1
                 self.by_teid[ctx.enb_teid_dl] = ctx
-                ctx.pending_nas.append(msg.nas_pdu)
+                if msg.nas_pdu:     # empty on service-request context
+                    ctx.pending_nas.append(msg.nas_pdu)    # re-setup
                 self._dispatch(self.mme.handle_s1ap(
                     InitialContextSetupResponse(
                         mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
@@ -149,6 +160,9 @@ class EnbApp:
                 ctx = self.by_enb_ue_id.pop(msg.enb_ue_id)
                 self.by_crnti.pop(ctx.crnti, None)
                 self.by_teid.pop(ctx.enb_teid_dl, None)
+                if ctx.pending_nas:
+                    self._parting_nas.setdefault(ctx.crnti, []).extend(
+                        ctx.pending_nas)
                 self._dispatch(self.mme.handle_s1ap(
                     UeContextReleaseComplete(
                         mme_ue_id=msg.mme_ue_id,
@@ -217,5 +231,5 @@ class EnbApp:
                 keep.append(pdu)
                 continue
             out.append((ctx.crnti, payload))
-        self.sgw.dl_queue = keep
+        self.sgw.requeue_unclaimed(keep)
         return out

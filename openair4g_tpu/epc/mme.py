@@ -27,7 +27,10 @@ from .nas import (AttachRequest, AuthenticationRequest,
                   AuthenticationResponse, SecurityModeCommand,
                   SecurityModeComplete, AttachAccept, AttachComplete,
                   ActivateDefaultBearerRequest, ActivateDefaultBearerAccept,
-                  decode_nas)
+                  DetachRequest, DetachAccept, TrackingAreaUpdateRequest,
+                  TrackingAreaUpdateAccept, TrackingAreaUpdateComplete,
+                  ServiceRequest, IdentityRequest, IdentityResponse,
+                  EmmInformation, decode_nas)
 from .s1ap import (S1SetupRequest, S1SetupResponse, InitialUeMessage,
                    DownlinkNasTransport, UplinkNasTransport,
                    InitialContextSetupRequest, InitialContextSetupResponse,
@@ -57,8 +60,12 @@ class MmeUeContext:
     xres: bytes = b""
     kasme: bytes = b""
     guti: int = 0
+    tac: int = 1
     bearer = None
     sec: NasSecurityContext = field(default_factory=NasSecurityContext)
+    ecm_idle: bool = False           # ECM state (S1 signalling conn up?)
+    release_cause: str = "detach"    # what the pending release means
+    detaching: bool = False          # DetachAccept sent, awaiting release
 
 
 class Mme:
@@ -100,17 +107,54 @@ class Mme:
             return [PathSwitchRequestAcknowledge(
                 mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id).pack()]
         if isinstance(msg, UeContextReleaseComplete):
-            self.ues.pop(msg.mme_ue_id, None)
+            ctx = self.ues.get(msg.mme_ue_id)
+            if ctx is None:
+                return []
+            if ctx.release_cause == "idle" and not ctx.detaching \
+                    and ctx.state == EmmState.REGISTERED:
+                # ECM-IDLE: keep the EMM context + session; only the S1
+                # logical connection and the S1-U DL endpoint go away
+                # (reference MME_APP keeps the UE REGISTERED; SGW gets
+                # Release Access Bearers)
+                ctx.ecm_idle = True
+                if ctx.bearer is not None:
+                    self.sgw.release_access_bearers(ctx.bearer.sgw_teid_ul)
+            else:
+                self.ues.pop(msg.mme_ue_id, None)
             return []
         raise ValueError(f"unhandled S1AP {msg}")
 
     # --------------------------------------------------------- procedures --
+    def _ctx_by_guti(self, guti: int) -> MmeUeContext | None:
+        for c in self.ues.values():
+            if c.guti == guti:
+                return c
+        return None
+
     def _initial_ue(self, msg: InitialUeMessage) -> list:
+        if msg.s_tmsi:
+            # secured initial NAS from a known (idle) UE: ServiceRequest
+            # or TrackingAreaUpdateRequest — find the context by S-TMSI,
+            # verify integrity with its live security context
+            ctx = self._ctx_by_guti(msg.s_tmsi)
+            assert ctx is not None, f"unknown S-TMSI {msg.s_tmsi:#x}"
+            try:
+                plain = ctx.sec.unprotect(msg.nas_pdu, DIR_UPLINK)
+            except IntegrityError:
+                return []
+            ctx.enb_ue_id = msg.enb_ue_id
+            nas = decode_nas(plain)
+            if isinstance(nas, ServiceRequest):
+                return self._service_request(ctx)
+            if isinstance(nas, TrackingAreaUpdateRequest):
+                return self._tau(ctx, nas)
+            raise ValueError(f"unhandled initial NAS {nas}")
         nas = decode_nas(msg.nas_pdu)
         assert isinstance(nas, AttachRequest), nas
         assert self.hss.known(nas.imsi), f"unknown IMSI {nas.imsi}"
         ctx = MmeUeContext(mme_ue_id=self._next_id,
-                           enb_ue_id=msg.enb_ue_id, imsi=nas.imsi)
+                           enb_ue_id=msg.enb_ue_id, imsi=nas.imsi,
+                           tac=msg.tac)
         self._next_id += 1
         self.ues[ctx.mme_ue_id] = ctx
         vec = self.hss.authentication_info(nas.imsi)
@@ -120,6 +164,31 @@ class Mme:
         return [DownlinkNasTransport(mme_ue_id=ctx.mme_ue_id,
                                      enb_ue_id=ctx.enb_ue_id,
                                      nas_pdu=auth.pack()).pack()]
+
+    def _service_request(self, ctx: MmeUeContext) -> list:
+        """§5.6.1: re-establish the S1 context + E-RAB for an idle UE
+        (the InitialContextSetupRequest IS the accept)."""
+        assert ctx.state == EmmState.REGISTERED, ctx.state
+        ctx.ecm_idle = False
+        from .security import derive_k_enb
+        return [InitialContextSetupRequest(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+            erab_id=ctx.bearer.ebi, sgw_teid_ul=ctx.bearer.sgw_teid_ul,
+            security_key=derive_k_enb(ctx.kasme)).pack()]
+
+    def _tau(self, ctx: MmeUeContext, nas: TrackingAreaUpdateRequest) -> list:
+        """§5.5.3: update the TA, reallocate the GUTI (the reference MME
+        folds GUTI reallocation into the TAU accept)."""
+        assert ctx.state == EmmState.REGISTERED, ctx.state
+        ctx.tac = nas.tac
+        ctx.guti = ((self.mme_group << 40) | (self.mme_code << 32)
+                    | self._next_mtmsi)
+        self._next_mtmsi += 1
+        ctx.ecm_idle = False
+        acc = TrackingAreaUpdateAccept(guti=ctx.guti, tac=ctx.tac)
+        return [DownlinkNasTransport(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+            nas_pdu=ctx.sec.protect(acc.pack(), DIR_DOWNLINK)).pack()]
 
     def _uplink_nas(self, msg: UplinkNasTransport) -> list:
         ctx = self.ues[msg.mme_ue_id]
@@ -163,12 +232,78 @@ class Mme:
             assert acc.ebi == 5
             ctx.state = EmmState.REGISTERED
             return []
+        if isinstance(nas, DetachRequest):
+            # UE-initiated detach (§5.5.2.2, NAS/MME/EMM/Detach.c):
+            # delete the session, accept (unless switch-off), release S1
+            if ctx.bearer is not None:
+                self.sgw.delete_session(ctx.bearer.sgw_teid_ul)
+                ctx.bearer = None
+            ctx.detaching = True
+            ctx.state = EmmState.DEREGISTERED
+            out = []
+            if nas.detach_type != 2:          # not switch-off
+                out.append(DownlinkNasTransport(
+                    mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+                    nas_pdu=ctx.sec.protect(DetachAccept().pack(),
+                                            DIR_DOWNLINK)).pack())
+            out.append(UeContextReleaseCommand(
+                mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id).pack())
+            return out
+        if isinstance(nas, TrackingAreaUpdateRequest):
+            # connected-mode TAU (no new S1 connection)
+            return self._tau(ctx, nas)
+        if isinstance(nas, TrackingAreaUpdateComplete):
+            return []
+        if isinstance(nas, DetachAccept):
+            # network-initiated detach confirmed: release the S1 context
+            return [UeContextReleaseCommand(
+                mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id).pack()]
+        if isinstance(nas, IdentityResponse):
+            # identification procedure answer (emm/Identification.c)
+            assert nas.imsi == ctx.imsi, (nas.imsi, ctx.imsi)
+            return []
         raise ValueError(f"unhandled NAS {nas}")
 
-    def release(self, mme_ue_id: int) -> bytes:
+    def release(self, mme_ue_id: int, cause: str = "detach") -> bytes:
+        """cause='detach' removes the context on completion; 'idle' keeps
+        the EMM context (ECM-IDLE) so paging / service request work."""
         ctx = self.ues[mme_ue_id]
+        ctx.release_cause = cause
         return UeContextReleaseCommand(mme_ue_id=ctx.mme_ue_id,
                                        enb_ue_id=ctx.enb_ue_id).pack()
+
+    def detach(self, mme_ue_id: int) -> list:
+        """Network-initiated detach (§5.5.2.3): DetachRequest toward the
+        UE, then context release once the accept comes back."""
+        ctx = self.ues[mme_ue_id]
+        if ctx.bearer is not None:
+            self.sgw.delete_session(ctx.bearer.sgw_teid_ul)
+            ctx.bearer = None
+        ctx.detaching = True
+        ctx.state = EmmState.DEREGISTERED
+        req = DetachRequest(guti=ctx.guti, network_originated=1)
+        return [DownlinkNasTransport(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+            nas_pdu=ctx.sec.protect(req.pack(), DIR_DOWNLINK)).pack()]
+
+    def identity_request(self, mme_ue_id: int) -> bytes:
+        """Start the identification procedure (IMSI query)."""
+        ctx = self.ues[mme_ue_id]
+        req = IdentityRequest(id_type=1)
+        pdu = (ctx.sec.protect(req.pack(), DIR_DOWNLINK)
+               if ctx.sec.active else req.pack())
+        return DownlinkNasTransport(mme_ue_id=ctx.mme_ue_id,
+                                    enb_ue_id=ctx.enb_ue_id,
+                                    nas_pdu=pdu).pack()
+
+    def emm_information(self, mme_ue_id: int, network_name: bytes) -> bytes:
+        """EMM INFORMATION toward a registered UE — also the >255-byte
+        DL NAS payload that exercises RLC-AM segmentation end-to-end."""
+        ctx = self.ues[mme_ue_id]
+        msg = EmmInformation(network_name=network_name)
+        return DownlinkNasTransport(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+            nas_pdu=ctx.sec.protect(msg.pack(), DIR_DOWNLINK)).pack()
 
     def page(self, imsi: int) -> bytes:
         """Mobile-terminated traffic for an idle UE -> S1AP Paging toward

@@ -30,8 +30,13 @@ class _Writer:
         assert 0 <= val < (1 << (8 * width_bytes)), (val, width_bytes)
         self.out += int(val).to_bytes(width_bytes, "big")
 
-    def put_bytes(self, b: bytes, fixed: int | None = None):
-        if fixed is None:
+    def put_bytes(self, b: bytes, fixed: int | None = None,
+                  wide: bool = False):
+        if wide:                        # 2-byte length (LV-E, 24.301 IEs
+            assert len(b) < (1 << 16)   # like the ESM message container)
+            self.out += bytes([len(b) >> 8, len(b) & 0xFF])
+            self.out += b
+        elif fixed is None:
             assert len(b) < 256
             self.out.append(len(b))
             self.out += b
@@ -50,8 +55,12 @@ class _Reader:
         self.pos += width_bytes
         return v
 
-    def take_bytes(self, fixed: int | None = None) -> bytes:
-        if fixed is None:
+    def take_bytes(self, fixed: int | None = None,
+                   wide: bool = False) -> bytes:
+        if wide:
+            n = (self.data[self.pos] << 8) | self.data[self.pos + 1]
+            self.pos += 2
+        elif fixed is None:
             n = self.data[self.pos]
             self.pos += 1
         else:
@@ -74,7 +83,8 @@ def _nas_message(tag: int):
             for f in fields(self):
                 v = getattr(self, f.name)
                 if f.type in ("bytes", bytes):
-                    w.put_bytes(v, f.metadata.get("fixed"))
+                    w.put_bytes(v, f.metadata.get("fixed"),
+                                f.metadata.get("wide", False))
                 else:
                     w.put(int(v), f.metadata.get("width", 2))
             return bytes(w.out)
@@ -87,7 +97,9 @@ def _nas_message(tag: int):
             vals = {}
             for f in fields(kls):
                 if f.type in ("bytes", bytes):
-                    vals[f.name] = r.take_bytes(f.metadata.get("fixed"))
+                    vals[f.name] = r.take_bytes(f.metadata.get("fixed"),
+                                                f.metadata.get("wide",
+                                                               False))
                 else:
                     vals[f.name] = r.take(f.metadata.get("width", 2))
             return kls(**vals)
@@ -109,6 +121,12 @@ def _f(width: int = 2, **kw):
 
 def _fb(fixed: int | None = None, default: bytes = b""):
     return field(default=default, metadata={"fixed": fixed})
+
+
+def _fbw(default: bytes = b""):
+    """Wide (2-byte-length) bytes field — LV-E containers that can exceed
+    255 bytes (24.301 ESM message container / EMM information text)."""
+    return field(default=default, metadata={"wide": True})
 
 
 # ------------------------------------------------------------------ EMM --
@@ -164,6 +182,94 @@ class AttachAccept:
 @dataclass
 class AttachComplete:
     esm_container: bytes = _fb(None)
+
+
+@_nas_message(0x45)
+@dataclass
+class DetachRequest:
+    """24.301 §8.2.11 (UE-originated) / §8.2.12 (network-originated):
+    detach type (1 = EPS detach, 2 = switch-off — no DetachAccept
+    expected) + GUTI (UE-originated) — reference NAS/MME/EMM/Detach.c."""
+    guti: int = field(metadata={"width": 8})
+    detach_type: int = _f(1, default=1)
+    network_originated: int = _f(1, default=0)
+
+
+@_nas_message(0x46)
+@dataclass
+class DetachAccept:
+    pass
+
+
+@_nas_message(0x48)
+@dataclass
+class TrackingAreaUpdateRequest:
+    """§8.2.29: old GUTI + last visited TAC; periodic or TA-change
+    triggered (reference emm/TrackingAreaUpdate.c)."""
+    guti: int = field(metadata={"width": 8})
+    tac: int = _f(2, default=1)
+    update_type: int = _f(1, default=0)       # 0=TA-updating, 3=periodic
+
+
+@_nas_message(0x49)
+@dataclass
+class TrackingAreaUpdateAccept:
+    """§8.2.26: fresh GUTI (GUTI reallocation folded in, as the reference
+    MME does) + TAI + T3412."""
+    guti: int = field(metadata={"width": 8})
+    tac: int = _f(2, default=1)
+    t3412: int = _f(1, default=6)
+
+
+@_nas_message(0x4A)
+@dataclass
+class TrackingAreaUpdateComplete:
+    pass
+
+
+@_nas_message(0x4D)
+@dataclass
+class ServiceRequest:
+    """§8.2.25: idle->connected transition trigger. The spec's short
+    format carries KSI+sequence number+short MAC; here the S-TMSI rides
+    the S1AP InitialUEMessage (as the real S-TMSI IE does) and integrity
+    comes from the EIA-lite secured wrapper."""
+    guti: int = field(metadata={"width": 8})
+
+
+@_nas_message(0x55)
+@dataclass
+class IdentityRequest:
+    """§8.2.18: identity type 1 = IMSI (reference emm/Identification.c)."""
+    id_type: int = _f(1, default=1)
+
+
+@_nas_message(0x56)
+@dataclass
+class IdentityResponse:
+    imsi: int = field(metadata={"width": 8})
+
+
+@_nas_message(0x50)
+@dataclass
+class GutiReallocationCommand:
+    guti: int = field(metadata={"width": 8})
+
+
+@_nas_message(0x51)
+@dataclass
+class GutiReallocationComplete:
+    pass
+
+
+@_nas_message(0x61)
+@dataclass
+class EmmInformation:
+    """§8.2.13: network name / local time. The wide (LV-E) text field
+    also exercises >255-byte NAS payloads end-to-end (RLC-AM
+    segmentation across MAC grants)."""
+    network_name: bytes = _fbw()
+    local_time: int = _f(4, default=0)
 
 
 # ------------------------------------------------------------------ ESM --

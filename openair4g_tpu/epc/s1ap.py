@@ -28,7 +28,9 @@ def _s1ap_message(tag: int):
             for f in fields(self):
                 v = getattr(self, f.name)
                 if f.type in ("bytes", bytes):
-                    w.put_bytes(v, f.metadata.get("fixed"))
+                    # wide (2-byte) length: S1AP NAS-PDU / TransparentContainer
+                    # OCTET STRINGs routinely exceed 255 bytes (36.413)
+                    w.put_bytes(v, f.metadata.get("fixed"), wide=True)
                 else:
                     w.put(int(v), f.metadata.get("width", 4))
             return bytes(w.out)
@@ -41,7 +43,8 @@ def _s1ap_message(tag: int):
             vals = {}
             for f in fields(kls):
                 if f.type in ("bytes", bytes):
-                    vals[f.name] = r.take_bytes(f.metadata.get("fixed"))
+                    vals[f.name] = r.take_bytes(f.metadata.get("fixed"),
+                                                wide=True)
                 else:
                     vals[f.name] = r.take(f.metadata.get("width", 4))
             return kls(**vals)
@@ -86,6 +89,9 @@ class InitialUeMessage:
     enb_ue_id: int = _f(4)
     tac: int = _f(2, default=1)
     nas_pdu: bytes = _fb()
+    s_tmsi: int = _f(8, default=0)   # optional S-TMSI IE (36.413
+    #   §9.1.7.1): lets the MME find the existing security context for
+    #   secured initial NAS (ServiceRequest / TAU); 0 = absent
 
 
 @_s1ap_message(0x11)

@@ -33,6 +33,7 @@ class SgwPgw:
         self._next_teid = 0x1000
         self._next_ip = ip_pool_base
         self.dl_queue: list[bytes] = []        # GTP-U PDUs toward the eNB
+        self._dl_age: dict[int, int] = {}      # poll count per queued PDU
         self.pdn_handler = lambda ue_ip, pkt: pkt   # SGi: default echo
 
     # ------------------------------------------------------- S11 control --
@@ -54,6 +55,21 @@ class SgwPgw:
         b.enb_teid_dl = enb_teid_dl
         b.enb_addr = enb_addr
 
+    def release_access_bearers(self, sgw_teid_ul: int) -> None:
+        """S11 Release Access Bearers (ECM-IDLE): forget the eNB DL
+        endpoint; the session + UE IP survive for paging-triggered
+        re-establishment."""
+        b = self._bearers_by_teid[sgw_teid_ul]
+        b.enb_teid_dl = 0
+        b.enb_addr = 0
+
+    def delete_session(self, sgw_teid_ul: int) -> None:
+        """S11 Delete Session (detach): tear the bearer down and return
+        the UE IP to the pool's dead list."""
+        b = self._bearers_by_teid.pop(sgw_teid_ul, None)
+        if b is not None:
+            self._bearers_by_ip.pop(b.ue_ipv4, None)
+
     # -------------------------------------------------------- user plane --
     def handle_uplink(self, gtpu_pdu: bytes) -> bytes | None:
         """eNB -> SGW S1-U PDU. G-PDUs go to the PDN; the PDN's response
@@ -69,6 +85,19 @@ class SgwPgw:
             assert b.enb_teid_dl, "downlink tunnel not established"
             self.dl_queue.append(gtpu_encap(b.enb_teid_dl, resp))
         return None
+
+    def requeue_unclaimed(self, keep: list, max_age: int = 64) -> None:
+        """Re-queue DL PDUs no eNB claimed this poll, ageing each one out
+        after `max_age` polls (ADVICE r3: PDUs for dead tunnels — e.g. a
+        UE context dropped by RLF — must not be rescanned forever)."""
+        kept, ages = [], {}
+        for pdu in keep:
+            age = self._dl_age.get(id(pdu), 0) + 1
+            if age < max_age:
+                ages[id(pdu)] = age
+                kept.append(pdu)
+        self._dl_age = ages
+        self.dl_queue = kept
 
     def send_downlink(self, ue_ipv4: int, pkt: bytes) -> None:
         """PDN-originated downlink packet toward a UE IP."""

@@ -14,13 +14,18 @@ from .nas import (AttachRequest, AuthenticationRequest,
                   AuthenticationResponse, SecurityModeCommand,
                   SecurityModeComplete, AttachAccept, AttachComplete,
                   ActivateDefaultBearerRequest, ActivateDefaultBearerAccept,
-                  decode_nas, auth_vector)
+                  DetachRequest, DetachAccept, TrackingAreaUpdateRequest,
+                  TrackingAreaUpdateAccept, TrackingAreaUpdateComplete,
+                  ServiceRequest, IdentityRequest, IdentityResponse,
+                  GutiReallocationCommand, GutiReallocationComplete,
+                  EmmInformation, decode_nas, auth_vector)
 
 
 class UeEmmState(Enum):
     DEREGISTERED = 0
     ATTACHING = 1
     REGISTERED = 2
+    DETACHING = 3
 
 
 class UeNas:
@@ -33,12 +38,45 @@ class UeNas:
         self.ip = 0
         self.ebi = 0
         self.kasme = b""
+        self.tac = 1
+        self.network_name = b""
+        self.tau_count = 0
         from .security import NasSecurityContext
         self.sec = NasSecurityContext()
 
     def attach_request(self) -> bytes:
         self.state = UeEmmState.ATTACHING
         return AttachRequest(imsi=self.imsi).pack()
+
+    # ------------------------------------------ UE-initiated procedures --
+    def _initial(self, msg) -> bytes:
+        """Protect a UE-originated NAS message with the live context."""
+        from .security import DIR_UPLINK
+        out = msg.pack()
+        return self.sec.protect(out, DIR_UPLINK) if self.sec.active else out
+
+    def detach_request(self, switch_off: bool = False) -> bytes:
+        """24.301 §5.5.2.2 UE-initiated detach (emm/Detach.c). Switch-off
+        expects no DetachAccept — the UE deregisters locally."""
+        assert self.state == UeEmmState.REGISTERED, self.state
+        self.state = (UeEmmState.DEREGISTERED if switch_off
+                      else UeEmmState.DETACHING)
+        return self._initial(DetachRequest(
+            guti=self.guti, detach_type=2 if switch_off else 1))
+
+    def service_request(self) -> bytes:
+        """§5.6.1: idle -> connected; EMM stays REGISTERED, the network
+        re-establishes the S1 context + bearers."""
+        assert self.state == UeEmmState.REGISTERED, self.state
+        return self._initial(ServiceRequest(guti=self.guti))
+
+    def tau_request(self, tac: int | None = None,
+                    periodic: bool = False) -> bytes:
+        """§5.5.3 tracking area update (emm/TrackingAreaUpdate.c)."""
+        assert self.state == UeEmmState.REGISTERED, self.state
+        return self._initial(TrackingAreaUpdateRequest(
+            guti=self.guti, tac=self.tac if tac is None else tac,
+            update_type=3 if periodic else 0))
 
     def handle_downlink(self, nas_pdu: bytes) -> bytes | None:
         """DL NAS in -> optional UL NAS out. Integrity: the first secured
@@ -73,4 +111,29 @@ class UeNas:
             self.state = UeEmmState.REGISTERED
             acc = ActivateDefaultBearerAccept(ebi=esm.ebi)
             return AttachComplete(esm_container=acc.pack()).pack()
+        if isinstance(msg, DetachAccept):
+            assert self.state == UeEmmState.DETACHING, self.state
+            self.state = UeEmmState.DEREGISTERED
+            self.ip = self.ebi = self.guti = 0
+            return None
+        if isinstance(msg, DetachRequest) and msg.network_originated:
+            # network-initiated detach (§5.5.2.3): accept + deregister
+            self.state = UeEmmState.DEREGISTERED
+            self.ip = self.ebi = self.guti = 0
+            return DetachAccept().pack()
+        if isinstance(msg, TrackingAreaUpdateAccept):
+            assert self.state == UeEmmState.REGISTERED, self.state
+            self.guti = msg.guti          # GUTI reallocation folded in
+            self.tac = msg.tac
+            self.tau_count += 1
+            return TrackingAreaUpdateComplete().pack()
+        if isinstance(msg, IdentityRequest):
+            assert msg.id_type == 1       # IMSI
+            return IdentityResponse(imsi=self.imsi).pack()
+        if isinstance(msg, GutiReallocationCommand):
+            self.guti = msg.guti
+            return GutiReallocationComplete().pack()
+        if isinstance(msg, EmmInformation):
+            self.network_name = msg.network_name
+            return None
         raise ValueError(f"unhandled DL NAS {msg}")

@@ -169,10 +169,31 @@ def unpack_um(data: bytes) -> "UmPdu":
 
 @dataclass
 class AmPdu:
+    """AMD PDU (36.322 §6.2.1.4) or AMD PDU *segment* (§6.2.1.5,
+    reference AM_v9.3.0/rlc_am_segment.c + rlc_am_resegment.c).
+
+    `chunks` are the LI-delimited SDU pieces of the FULL PDU data field
+    (FI semantics as UmPdu). A segment (is_segment=True) carries the byte
+    range [so, so+len(seg_data)) of the concatenated data field, plus the
+    full PDU's FI/LI metadata so the receiver can reassemble without the
+    other segments' headers; lsf marks the last segment."""
     sn: int
-    is_retx: bool
-    payload: bytes
+    is_retx: bool = False
     poll: bool = False
+    fi_start: bool = True
+    fi_end: bool = True
+    chunks: tuple = ()
+    # segment-only fields (is_segment):
+    is_segment: bool = False
+    so: int = 0
+    lsf: bool = False
+    seg_data: bytes = b""
+    lis: tuple = ()        # segment: LI table of the full PDU (all but
+    #                        the last chunk's length)
+
+    @property
+    def payload(self) -> bytes:
+        return self.seg_data if self.is_segment else b"".join(self.chunks)
 
 
 @dataclass
@@ -182,13 +203,32 @@ class StatusPdu:
 
 
 # ------------------------------------------------------------ AM wire --
-# AM data PDU: D/C|RF|P header + SN + payload (36.322 §6.2.1.4 fields);
-# STATUS PDU: D/C=0 + ACK_SN + NACK list (§6.2.1.6).
+# AM data PDU: D/C|RF|P|FI|LSF header + SN + LI table (+SO for segments)
+# + data (36.322 §6.2.1.4-5 fields); STATUS PDU: D/C=0 + ACK_SN + NACK
+# list (§6.2.1.6). Fixed-layout PER-lite framing as rrc/messages.py.
 
 def pack_am(pdu: "AmPdu") -> bytes:
-    return bytes([0x80 | (0x40 if pdu.is_retx else 0)
-                  | (0x20 if pdu.poll else 0),
-                  (pdu.sn >> 8) & 0xFF, pdu.sn & 0xFF]) + pdu.payload
+    b0 = (0x80
+          | (0x40 if pdu.is_segment else 0)
+          | (0x20 if pdu.poll else 0)
+          | (0x10 if pdu.fi_start else 0)
+          | (0x08 if pdu.fi_end else 0)
+          | (0x04 if pdu.lsf else 0)
+          | (0x02 if pdu.is_retx else 0))
+    lis = pdu.lis if pdu.is_segment else tuple(
+        len(c) for c in pdu.chunks[:-1])
+    assert len(lis) < 16
+    out = bytearray([b0, (pdu.sn >> 8) & 0xFF, pdu.sn & 0xFF, len(lis)])
+    for ln in lis:                      # LIs for all but the last chunk
+        assert ln < (1 << 16)
+        out += bytes([ln >> 8, ln & 0xFF])
+    if pdu.is_segment:
+        out += bytes([(pdu.so >> 8) & 0xFF, pdu.so & 0xFF])
+        out += pdu.seg_data
+    else:
+        for c in pdu.chunks:
+            out += c
+    return bytes(out)
 
 
 def pack_am_status(st: "StatusPdu") -> bytes:
@@ -200,21 +240,42 @@ def pack_am_status(st: "StatusPdu") -> bytes:
 
 
 def unpack_am(data: bytes):
-    """-> AmPdu (data) or StatusPdu (control), dispatched on D/C."""
-    if data[0] & 0x80:
-        return AmPdu(sn=(data[1] << 8) | data[2],
-                     is_retx=bool(data[0] & 0x40),
-                     payload=data[3:], poll=bool(data[0] & 0x20))
-    n = data[3]
-    nacks = tuple((data[4 + 2 * i] << 8) | data[5 + 2 * i]
-                  for i in range(n))
-    return StatusPdu(ack_sn=(data[1] << 8) | data[2], nack_sns=nacks)
+    """-> AmPdu (data / data segment) or StatusPdu (control),
+    dispatched on D/C."""
+    if not (data[0] & 0x80):
+        n = data[3]
+        nacks = tuple((data[4 + 2 * i] << 8) | data[5 + 2 * i]
+                      for i in range(n))
+        return StatusPdu(ack_sn=(data[1] << 8) | data[2], nack_sns=nacks)
+    b0 = data[0]
+    sn = (data[1] << 8) | data[2]
+    n_lis = data[3]
+    pos = 4
+    lens = []
+    for _ in range(n_lis):
+        lens.append((data[pos] << 8) | data[pos + 1])
+        pos += 2
+    common = dict(sn=sn, is_retx=bool(b0 & 0x02), poll=bool(b0 & 0x20),
+                  fi_start=bool(b0 & 0x10), fi_end=bool(b0 & 0x08))
+    if b0 & 0x40:                       # AMD PDU segment
+        so = (data[pos] << 8) | data[pos + 1]
+        pos += 2
+        return AmPdu(is_segment=True, so=so, lsf=bool(b0 & 0x04),
+                     seg_data=data[pos:], lis=tuple(lens), **common)
+    chunks = []
+    for ln in lens:
+        chunks.append(data[pos:pos + ln])
+        pos += ln
+    chunks.append(data[pos:])
+    return AmPdu(chunks=tuple(chunks), **common)
 
 
 class RlcAm:
-    """Acknowledged mode: retransmission from status reports, max-retx
-    threshold signalling radio link failure (the reference hands this to
-    RRC)."""
+    """Acknowledged mode: segmentation/concatenation of SDUs to the MAC
+    grant (reference AM_v9.3.0/rlc_am_segment.c), re-segmentation of
+    retransmissions to the *current* grant (rlc_am_resegment.c),
+    retransmission from status reports, max-retx threshold signalling
+    radio link failure (the reference hands this to RRC)."""
 
     def __init__(self, sn_bits: int = 10, max_retx: int = 4,
                  poll_every: int = 8, t_poll_retransmit: int = 24):
@@ -224,28 +285,81 @@ class RlcAm:
         self.t_poll_retransmit = t_poll_retransmit
         self.vt_s = 0                       # next new SN
         self.vt_a = 0                       # oldest unacked SN
+        self._txq: list[bytes] = []         # queued SDUs
+        self._tx_offset = 0                 # bytes of txq[0] already sent
         self._sent: dict[int, AmPdu] = {}
         self._retx_count: dict[int, int] = {}
         self._retx_q: list[int] = []
+        self._retx_so: dict[int, int] = {}  # re-segmentation cursor
         self._pdus_since_poll = 0
         self._poll_timer = -1               # t-PollRetransmit (36.322)
         self.rlf = False
         # RX side
         self.vr_r = 0
-        self._rx: dict[int, bytes] = {}
+        self._rx: dict[int, AmPdu] = {}     # complete PDUs by SN
+        self._seg: dict[int, dict] = {}     # partial segment buffers
+        self._sdu_acc = bytearray()         # cross-PDU SDU accumulator
         self.delivered: list[bytes] = []
 
     # ------------------------------------------------------------------ TX --
-    def tx_pdu(self, sdu: bytes | None = None) -> AmPdu | None:
-        """Retransmissions first (reference rlc_am retx queue priority)."""
+    def tx_enqueue(self, sdu: bytes) -> None:
+        self._txq.append(sdu)
+
+    def has_data(self) -> bool:
+        return bool(self._txq or self._retx_q)
+
+    def tx_pdu(self, sdu: bytes | None = None,
+               size: int | None = None) -> AmPdu | None:
+        """Build one PDU of <= `size` payload bytes (None = unlimited).
+        Retransmissions first (reference rlc_am retx queue priority); a
+        NACKed PDU bigger than the current grant goes out as AMD PDU
+        segments (rlc_am_resegment.c). `sdu` is enqueued first (legacy
+        one-call pattern)."""
+        if sdu is not None:
+            self._txq.append(sdu)
         if self._retx_q:
-            sn = self._retx_q.pop(0)
-            pdu = self._sent[sn]
+            sn = self._retx_q[0]
+            full = self._sent[sn]
+            data = full.payload
             self._poll_timer = self.t_poll_retransmit
-            return AmPdu(sn=sn, is_retx=True, payload=pdu.payload,
-                         poll=True)
-        if sdu is None:
+            if size is None or len(data) <= size:
+                self._retx_q.pop(0)
+                self._retx_so.pop(sn, None)
+                return AmPdu(sn=sn, is_retx=True, poll=True,
+                             fi_start=full.fi_start, fi_end=full.fi_end,
+                             chunks=full.chunks)
+            so = self._retx_so.get(sn, 0)
+            take = min(size, len(data) - so)
+            lsf = so + take == len(data)
+            if lsf:
+                self._retx_q.pop(0)
+                self._retx_so.pop(sn, None)
+            else:
+                self._retx_so[sn] = so + take
+            return AmPdu(sn=sn, is_retx=True, poll=lsf, is_segment=True,
+                         so=so, lsf=lsf, seg_data=data[so:so + take],
+                         fi_start=full.fi_start, fi_end=full.fi_end,
+                         lis=tuple(len(c) for c in full.chunks[:-1]))
+        if not self._txq:
             return None
+        # new AMD PDU: segment + concatenate queued SDUs to the grant
+        fi_start = self._tx_offset == 0
+        chunks = []
+        n = 0
+        fi_end = True
+        while self._txq and (size is None or n < size):
+            head = self._txq[0]
+            avail = len(head) - self._tx_offset
+            take = avail if size is None else min(size - n, avail)
+            chunks.append(head[self._tx_offset:self._tx_offset + take])
+            n += take
+            if self._tx_offset + take == len(head):
+                self._txq.pop(0)
+                self._tx_offset = 0
+            else:
+                self._tx_offset += take
+                fi_end = False
+                break
         self._pdus_since_poll += 1
         poll = self._pdus_since_poll >= self.poll_every
         if poll:
@@ -254,11 +368,27 @@ class RlcAm:
         # when the buffers empty (the "last PDU" rule) — an un-polled
         # final PDU lost on the air must still be recoverable
         self._poll_timer = self.t_poll_retransmit
-        pdu = AmPdu(sn=self.vt_s, is_retx=False, payload=sdu, poll=poll)
+        pdu = AmPdu(sn=self.vt_s, is_retx=False, poll=poll,
+                    fi_start=fi_start, fi_end=fi_end, chunks=tuple(chunks))
         self._sent[self.vt_s] = pdu
         self._retx_count[self.vt_s] = 0
         self.vt_s = (self.vt_s + 1) % self.mod
         return pdu
+
+    def _schedule_retx(self, sn: int, why: str) -> None:
+        """Count + queue one retransmission (ADVICE r3: the count moves
+        only when a retransmission is actually scheduled)."""
+        if sn in self._retx_q:
+            return
+        self._retx_count[sn] += 1
+        if self._retx_count[sn] > self.max_retx:
+            from ..utils.log import LOG_W
+            LOG_W("RLC", "AM sn=%d exceeded maxRetx=%d (%s) -> RLF",
+                  sn, self.max_retx, why)
+            self.rlf = True                 # reference: maxRetx -> RRC
+        else:
+            self._retx_q.append(sn)
+            self._retx_so.pop(sn, None)     # restart from SO=0
 
     def on_status(self, status: StatusPdu) -> None:
         # release acked PDUs < ACK_SN (except NACKed)
@@ -268,20 +398,13 @@ class RlcAm:
             if behind and sn not in nacked:
                 self._sent.pop(sn, None)
                 self._retx_count.pop(sn, None)
+                self._retx_so.pop(sn, None)
                 if sn in self._retx_q:
                     self._retx_q.remove(sn)
         self.vt_a = status.ack_sn
         for sn in status.nack_sns:
-            if sn not in self._sent:
-                continue
-            self._retx_count[sn] += 1
-            if self._retx_count[sn] > self.max_retx:
-                from ..utils.log import LOG_W
-                LOG_W("RLC", "AM sn=%d exceeded maxRetx=%d -> RLF",
-                      sn, self.max_retx)
-                self.rlf = True             # reference: maxRetx -> RRC
-            elif sn not in self._retx_q:
-                self._retx_q.append(sn)
+            if sn in self._sent:
+                self._schedule_retx(sn, "NACK")
         if not self._sent:
             self._poll_timer = -1           # everything acknowledged
 
@@ -299,24 +422,66 @@ class RlcAm:
                 self._poll_timer = -1
             return
         sn = min(self._sent, key=lambda s: (s - self.vt_a) % self.mod)
-        self._retx_count[sn] += 1
-        if self._retx_count[sn] > self.max_retx:
-            from ..utils.log import LOG_W
-            LOG_W("RLC", "AM sn=%d exceeded maxRetx=%d (t-PollRetransmit)"
-                  " -> RLF", sn, self.max_retx)
-            self.rlf = True
-        elif sn not in self._retx_q:
-            self._retx_q.append(sn)
+        self._schedule_retx(sn, "t-PollRetransmit")
         self._poll_timer = self.t_poll_retransmit
 
     # ------------------------------------------------------------------ RX --
-    def rx_pdu(self, pdu: AmPdu) -> StatusPdu | None:
-        if ((pdu.sn - self.vr_r) % self.mod) < self.mod // 2 \
-                and pdu.sn not in self._rx:
-            self._rx[pdu.sn] = pdu.payload
+    def _rx_complete(self, pdu: AmPdu) -> None:
+        self._rx[pdu.sn] = pdu
+        self._seg.pop(pdu.sn, None)
         while self.vr_r in self._rx:
-            self.delivered.append(self._rx.pop(self.vr_r))
+            self._reassemble(self._rx.pop(self.vr_r))
             self.vr_r = (self.vr_r + 1) % self.mod
+
+    def _reassemble(self, pdu: AmPdu) -> None:
+        """FI/LI-aware SDU reassembly across in-order PDUs. AM delivery
+        is lossless (NACK/retx fills every gap before vr_r advances), so
+        a partial SDU accumulator never needs invalidation (unlike UM)."""
+        for i, chunk in enumerate(pdu.chunks):
+            starts = (i > 0) or pdu.fi_start
+            ends = (i < len(pdu.chunks) - 1) or pdu.fi_end
+            if starts:
+                self._sdu_acc = bytearray()
+            self._sdu_acc += chunk
+            if ends:
+                self.delivered.append(bytes(self._sdu_acc))
+                self._sdu_acc = bytearray()
+
+    def _rx_segment(self, pdu: AmPdu) -> None:
+        buf = self._seg.setdefault(pdu.sn, {
+            "ranges": {}, "end": None,
+            "fi": (pdu.fi_start, pdu.fi_end), "lis": pdu.lis})
+        buf["ranges"][pdu.so] = pdu.seg_data
+        if pdu.lsf:
+            buf["end"] = pdu.so + len(pdu.seg_data)
+        if buf["end"] is None:
+            return
+        # complete when the ranges cover [0, end) contiguously
+        data = bytearray()
+        pos = 0
+        while pos < buf["end"]:
+            seg = buf["ranges"].get(pos)
+            if seg is None:
+                return
+            data += seg
+            pos += len(seg)
+        data = bytes(data[:buf["end"]])
+        chunks = []
+        off = 0
+        for ln in buf["lis"]:
+            chunks.append(data[off:off + ln])
+            off += ln
+        chunks.append(data[off:])
+        self._rx_complete(AmPdu(sn=pdu.sn, fi_start=buf["fi"][0],
+                                fi_end=buf["fi"][1], chunks=tuple(chunks)))
+
+    def rx_pdu(self, pdu: AmPdu) -> StatusPdu | None:
+        in_window = ((pdu.sn - self.vr_r) % self.mod) < self.mod // 2
+        if in_window and pdu.sn not in self._rx:
+            if pdu.is_segment:
+                self._rx_segment(pdu)
+            else:
+                self._rx_complete(pdu)
         if pdu.poll:
             missing = []
             sn = self.vr_r

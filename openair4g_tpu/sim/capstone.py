@@ -126,6 +126,10 @@ class CapstoneConfig:
     #   waits for a P-RNTI page at its 36.304 paging occasion before RA
     page_at_tti: int = 16       # when the MME pages (mt_attach mode)
     paging_cycle_idx: int = 1   # SIB2 defaultPagingCycle: rf{32,64,128,256}
+    big_nas_bytes: int = 0      # >0: after registration the MME sends an
+    #   EMM INFORMATION this big — a DL NAS message larger than any MAC
+    #   grant, carried by RLC-AM segmentation across TTIs (VERDICT r3
+    #   item 6 acceptance: 400+B NAS over ~100B grants)
 
 
 def _bytes_to_tb(data: bytes, tbs: int) -> np.ndarray:
@@ -417,7 +421,7 @@ class UeStack:
     def sr_pending(self) -> bool:
         """Stands in for PUCCH SR (format 1 detection: sim/pucchsim.py)."""
         return bool(self.msg3 is not None or self.srb1_txq
-                    or self.status_txq or self.srb1._retx_q
+                    or self.status_txq or self.srb1.has_data()
                     or (self.drb is not None and self.drb._txq))
 
 
@@ -472,6 +476,7 @@ class FullStackSim:
         self.ue = UeStack(rrc=RrcUe(seed=cfg.seed),
                           nas=UeNas(cfg.imsi, cfg.k))
         self.ue_echo_sent = False
+        self._big_nas_sent = False
         self.trace: list = []
         self.tti = 0
         self.phy_runs = dict(dl=0, ul=0, prach=0)
@@ -571,7 +576,7 @@ class FullStackSim:
         # DCCH / DRB data for the connected UE
         if self._crnti is not None and (
                 self.enb_srb1_txq or self.enb_status_txq
-                or self.enb_srb1._retx_q or self.enb_drb_txq):
+                or self.enb_srb1.has_data() or self.enb_drb_txq):
             pdu = self._build_dl_mac_pdu()
             if pdu is not None:
                 self._pcap_mac(pdu, DIR_DL, self._crnti)
@@ -592,18 +597,18 @@ class FullStackSim:
                 subs.append((LCID_SRB1, raw))
                 budget -= len(raw) + 2
                 self.enb_status_txq.remove(st)
-        while budget > 4 and (self.enb_srb1._retx_q or self.enb_srb1_txq):
-            sdu = None
-            if not self.enb_srb1._retx_q:
-                sdu = self.enb_srb1_txq[0]
-                if len(sdu) + 3 > budget:
-                    break
-            pdu = self.enb_srb1.tx_pdu(sdu)
+        # SRB1: size-fitted AM PDUs — large NAS/RRC messages segment
+        # across grants, NACKed PDUs re-segment to the current grant
+        # (rlc_am_segment.c / rlc_am_resegment.c parity)
+        for sdu in self.enb_srb1_txq:
+            self.enb_srb1.tx_enqueue(sdu)
+        self.enb_srb1_txq.clear()
+        while budget > 16 and self.enb_srb1.has_data():
+            pdu = self.enb_srb1.tx_pdu(size=budget - 12)
             if pdu is None:
                 break
-            if sdu is not None and not pdu.is_retx:
-                self.enb_srb1_txq.pop(0)
             raw = pack_am(pdu)
+            assert len(raw) <= budget, (len(raw), budget)
             subs.append((LCID_SRB1, raw))
             budget -= len(raw) + 2
         if self.enb_drb is not None:
@@ -760,6 +765,7 @@ class FullStackSim:
             return pdu
         subs = []
         pending = sum(len(s) for s in ue.srb1_txq) + \
+            sum(len(s) for s in ue.srb1._txq) + \
             (sum(len(s) for s in ue.drb._txq) if ue.drb else 0)
         subs.append((LCID_SHORT_BSR, pack_short_bsr(0, pending)))
         budget = tbs - 8
@@ -769,18 +775,15 @@ class FullStackSim:
                 subs.append((LCID_SRB1, raw))
                 budget -= len(raw) + 2
                 ue.status_txq.remove(st)
-        while budget > 4 and (ue.srb1._retx_q or ue.srb1_txq):
-            sdu = None
-            if not ue.srb1._retx_q:
-                sdu = ue.srb1_txq[0]
-                if len(sdu) + 3 > budget:
-                    break
-            pdu = ue.srb1.tx_pdu(sdu)
+        for sdu in ue.srb1_txq:
+            ue.srb1.tx_enqueue(sdu)
+        ue.srb1_txq.clear()
+        while budget > 16 and ue.srb1.has_data():
+            pdu = ue.srb1.tx_pdu(size=budget - 12)
             if pdu is None:
                 break
-            if sdu is not None and not pdu.is_retx:
-                ue.srb1_txq.pop(0)
             raw = pack_am(pdu)
+            assert len(raw) <= budget, (len(raw), budget)
             subs.append((LCID_SRB1, raw))
             budget -= len(raw) + 2
         if ue.drb is not None:
@@ -991,6 +994,22 @@ class FullStackSim:
                     self.enb_drb_txq.append(
                         self.enb_pdcp_dl.data_req(pkt))
                     self._ev("eNB queued downlink IP packet (GTP-U -> DRB)")
+            # MME-originated big NAS after registration (EMM INFORMATION
+            # larger than any grant -> RLC-AM segmentation end-to-end)
+            if (cfg.big_nas_bytes and not self._big_nas_sent
+                    and self._mme_registered()
+                    and self._crnti in self.enb_app.by_crnti):
+                self._big_nas_sent = True
+                mme_ue_id = self.enb_app.by_crnti[self._crnti].mme_ue_id
+                self.enb_app.handle_mme_initiated(self.mme.emm_information(
+                    mme_ue_id, bytes(i & 0xFF
+                                     for i in range(cfg.big_nas_bytes))))
+                self._ev(f"MME sends {cfg.big_nas_bytes}B EMM INFORMATION")
+            # drain MME->UE NAS queued outside a UL exchange
+            if self._crnti in self.enb_app.by_crnti:
+                for nas in self.enb_app.poll_nas(self._crnti):
+                    self._enb_queue_srb1(DlInformationTransfer(
+                        dedicated_info_nas=nas).pack())
             # timers
             self.enb_rrc.tick()
             self.ue.rrc.tick()
@@ -1002,7 +1021,10 @@ class FullStackSim:
                 self.enb_drb.tick()
             self.tti += 1
             # stop once the echo landed AND the MME saw AttachComplete
-            if self.ue.delivered_ip and self._mme_registered():
+            # (AND the oversized NAS fully reassembled, when configured)
+            if self.ue.delivered_ip and self._mme_registered() and \
+                    (not cfg.big_nas_bytes
+                     or len(self.ue.nas.network_name) == cfg.big_nas_bytes):
                 break
 
         echo_ok = bool(self.ue.delivered_ip
@@ -1023,6 +1045,8 @@ class FullStackSim:
             srb_int_failures=(self.ue.srb_pdcp_rx.int_failures
                               + self.enb_srb_pdcp_rx.int_failures),
             echo_ok=echo_ok,
+            big_nas_ok=(len(self.ue.nas.network_name) == cfg.big_nas_bytes
+                        if cfg.big_nas_bytes else None),
             ue_ip=self.ue.nas.ip,
             ttis=self.tti,
             phy_runs=dict(self.phy_runs),

@@ -115,7 +115,7 @@ class UeFull:
     @property
     def sr_pending(self) -> bool:
         return bool(self.msg3 is not None or self.srb1_txq
-                    or self.status_txq or self.srb1._retx_q
+                    or self.status_txq or self.srb1.has_data()
                     or (self.drb is not None and self.drb._txq))
 
 
@@ -143,7 +143,7 @@ class EnbUeL2:
     @property
     def dl_pending(self) -> bool:
         return bool(self.msg4 is not None or self.srb1_txq
-                    or self.status_txq or self.srb1._retx_q
+                    or self.status_txq or self.srb1.has_data()
                     or self.drb_txq
                     or (self.drb is not None and self.drb._txq))
 
@@ -294,19 +294,17 @@ class OaisimFullStack:
                 subs.append((LCID_SRB1, raw))
                 budget -= len(raw) + 2
                 l2.status_txq.remove(st)
-        while budget > 4 and (l2.srb1._retx_q or l2.srb1_txq):
-            sdu = None
-            if not l2.srb1._retx_q:
-                sdu = l2.srb1_txq[0]
-                if len(sdu) + 3 > budget:
-                    break
-            else:
+        # size-fitted AM PDUs: segmentation to the grant + SO-based
+        # re-segmentation of retransmissions (rlc_am_segment.c parity)
+        for sdu in l2.srb1_txq:
+            l2.srb1.tx_enqueue(sdu)
+        l2.srb1_txq.clear()
+        while budget > 16 and l2.srb1.has_data():
+            if l2.srb1._retx_q:
                 self.stats["rlc_retx"] += 1
-            pdu = l2.srb1.tx_pdu(sdu)
+            pdu = l2.srb1.tx_pdu(size=budget - 12)
             if pdu is None:
                 break
-            if sdu is not None and not pdu.is_retx:
-                l2.srb1_txq.pop(0)
             raw = pack_am(pdu)
             subs.append((LCID_SRB1, raw))
             budget -= len(raw) + 2
@@ -487,7 +485,8 @@ class OaisimFullStack:
     def _build_ul_pdu(self, ue: UeFull) -> bytes:
         tbs = self.sc.tbs_bytes
         subs = [(LCID_SHORT_BSR, pack_short_bsr(
-            0, sum(len(s) for s in ue.srb1_txq)))]
+            0, sum(len(s) for s in ue.srb1_txq)
+            + sum(len(s) for s in ue.srb1._txq)))]
         budget = tbs - 8
         for st in ue.status_txq[:]:
             raw = pack_am_status(st)
@@ -495,19 +494,15 @@ class OaisimFullStack:
                 subs.append((LCID_SRB1, raw))
                 budget -= len(raw) + 2
                 ue.status_txq.remove(st)
-        while budget > 4 and (ue.srb1._retx_q or ue.srb1_txq):
-            sdu = None
-            if not ue.srb1._retx_q:
-                sdu = ue.srb1_txq[0]
-                if len(sdu) + 3 > budget:
-                    break
-            else:
+        for sdu in ue.srb1_txq:
+            ue.srb1.tx_enqueue(sdu)
+        ue.srb1_txq.clear()
+        while budget > 16 and ue.srb1.has_data():
+            if ue.srb1._retx_q:
                 self.stats["rlc_retx"] += 1
-            pdu = ue.srb1.tx_pdu(sdu)
+            pdu = ue.srb1.tx_pdu(size=budget - 12)
             if pdu is None:
                 break
-            if sdu is not None and not pdu.is_retx:
-                ue.srb1_txq.pop(0)
             raw = pack_am(pdu)
             subs.append((LCID_SRB1, raw))
             budget -= len(raw) + 2

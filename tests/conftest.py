@@ -40,6 +40,7 @@ _SLOW = {
     "test_tddsim.py::test_tdd_50prb_frame",
     "test_tddsim.py::test_tdd_25prb_frame",
     "test_paging.py::test_mt_attach_via_paging_over_the_air",
+    "test_capstone.py::test_capstone_big_nas_segmentation",
 }
 
 

@@ -78,3 +78,19 @@ def test_full_stack_over_the_air(tmp_path):
     for label in ("PRACH", "RRCConnectionRequest", "InitialUEMessage",
                   "DownlinkNASTransport", "GTP-U"):
         assert label in msc, f"MSC missing {label}"
+
+
+def test_capstone_big_nas_segmentation():
+    """A 450-byte DL NAS message (EMM INFORMATION) over the air: larger
+    than any MAC grant, so it must cross SRB1 as several RLC-AM PDUs
+    (LI framing + size-fitted segmentation) and reassemble at the UE
+    (VERDICT r3 item 6 acceptance; rlc_am_segment.c parity)."""
+    sim = FullStackSim(CapstoneConfig(snr_db=12.0, seed=3,
+                                      big_nas_bytes=450, max_ttis=600))
+    res = sim.run()
+    assert res["registered"] and res["echo_ok"]
+    assert res["big_nas_ok"], "oversized NAS did not reassemble"
+    # it really took multiple PDUs: the DlInformationTransfer is ~470B
+    # while the dedicated grant is ~100B
+    tbs = sim.dl.codec(sim.cfg.ded).cfg.tbs // 8
+    assert tbs < 250, tbs

@@ -51,8 +51,12 @@ def test_um_wire_roundtrip():
 
 
 def test_am_wire_roundtrip():
-    pdu = AmPdu(sn=1000, is_retx=True, payload=b"\x00\xffdata", poll=True)
+    pdu = AmPdu(sn=1000, is_retx=True, poll=True, fi_start=False,
+                chunks=(b"\x00\xffdata", b"second-sdu"))
     assert unpack_am(pack_am(pdu)) == pdu
+    seg = AmPdu(sn=7, is_segment=True, so=96, lsf=True, poll=True,
+                seg_data=b"\x01\x02tail", lis=(200, 44), fi_end=False)
+    assert unpack_am(pack_am(seg)) == seg
     st = StatusPdu(ack_sn=77, nack_sns=(3, 900))
     assert unpack_am(pack_am_status(st)) == st
 

@@ -84,8 +84,63 @@ class TestAm:
         assert rx.delivered == [bytes([i]) * 5 for i in range(4)]
 
     def test_max_retx_triggers_rlf(self):
+        """RLF fires only after max_retx ACTUAL retransmissions: a NACK
+        for an SN already sitting in the retx queue does not count
+        (ADVICE r3) — drain the queue between status reports."""
         tx = RlcAm(max_retx=2)
         tx.tx_pdu(b"a")
+        # repeated NACKs while the retx is still queued count ONCE
         for _ in range(4):
             tx.on_status(StatusPdu(ack_sn=0, nack_sns=(0,)))
+        assert not tx.rlf
+        assert tx.tx_pdu() is not None          # retx 1 goes out
+        tx.on_status(StatusPdu(ack_sn=0, nack_sns=(0,)))
+        assert not tx.rlf
+        assert tx.tx_pdu() is not None          # retx 2 goes out
+        tx.on_status(StatusPdu(ack_sn=0, nack_sns=(0,)))   # would be #3
         assert tx.rlf
+
+    def test_am_segmentation_resegmentation(self):
+        """A 400-byte SDU over 96-byte grants: segmentation on first
+        transmission, SO-based re-segmentation of a NACKed PDU to a
+        smaller grant (rlc_am_segment.c / rlc_am_resegment.c parity)."""
+        from openair4g_tpu.mac.rlc import pack_am, unpack_am
+        tx = RlcAm(poll_every=1)
+        rx = RlcAm()
+        sdu = bytes(range(256)) + bytes(144)          # 400 bytes
+        tx.tx_enqueue(sdu)
+        pdus = []
+        while tx.has_data():
+            p = tx.tx_pdu(size=96)
+            assert len(p.payload) <= 96
+            pdus.append(p)
+        assert len(pdus) == 5                          # ceil(400/96)
+        # lose PDU 2, deliver the rest; poll on the last generates status
+        st = None
+        for i, p in enumerate(pdus):
+            if i == 2:
+                continue
+            s = rx.rx_pdu(unpack_am(pack_am(p)))
+            st = s if s is not None else st
+        assert st is not None and st.nack_sns == (pdus[2].sn,)
+        tx.on_status(st)
+        # retransmit into a SMALLER grant -> two AMD PDU segments
+        seg1 = tx.tx_pdu(size=60)
+        seg2 = tx.tx_pdu(size=60)
+        assert seg1.is_segment and not seg1.lsf and seg1.so == 0
+        assert seg2.is_segment and seg2.lsf and seg2.so == 60
+        rx.rx_pdu(unpack_am(pack_am(seg1)))
+        rx.rx_pdu(unpack_am(pack_am(seg2)))
+        assert rx.delivered == [sdu]
+
+    def test_am_concatenation(self):
+        """Several small SDUs share one grant (LI framing)."""
+        tx = RlcAm()
+        rx = RlcAm()
+        sdus = [b"alpha", b"beta!", b"gamma"]
+        for s in sdus:
+            tx.tx_enqueue(s)
+        p = tx.tx_pdu(size=100)
+        assert len(p.chunks) == 3
+        rx.rx_pdu(p)
+        assert rx.delivered == sdus
