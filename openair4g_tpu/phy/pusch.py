@@ -87,17 +87,25 @@ def _ul_wiener_matrix(n_rb: int, n_rb_alloc: int, rb_offset: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _ul_time_weights(data_syms: tuple, normal_cp: bool = True) -> np.ndarray:
+def _ul_time_weights(data_syms: tuple, normal_cp: bool = True,
+                     hopped: bool = False) -> np.ndarray:
     """[n_data_sym, 2] linear interpolation weights between the two DMRS
     symbols (clamped outside — the reference extrapolates by slope, which
     amplifies noise at the subframe edges; clamping is the stabler choice
-    and is what its low-Doppler mode converges to)."""
+    and is what its low-Doppler mode converges to). With PUSCH frequency
+    hopping the two slots sit at different PRBs, so cross-slot
+    interpolation is invalid: each slot uses only its own DMRS (step
+    weights)."""
     fp = FrameParms(n_rb=6, normal_cp=normal_cp)   # symbol layout only
     d0, d1 = dmrs_symbol_indices(fp)
+    half = fp.symbols_per_subframe // 2
     Wt = np.zeros((len(data_syms), 2), np.float32)
     for i, l in enumerate(data_syms):
-        t = np.clip((l - d0) / (d1 - d0), 0.0, 1.0)
-        Wt[i] = (1.0 - t, t)
+        if hopped:
+            Wt[i] = (1.0, 0.0) if l < half else (0.0, 1.0)
+        else:
+            t = np.clip((l - d0) / (d1 - d0), 0.0, 1.0)
+            Wt[i] = (1.0 - t, t)
     return Wt
 
 
@@ -124,7 +132,8 @@ def ul_estimate_channel(dmrs_rx, dmrs_ref: np.ndarray, pm: PuschMap, wiener):
     ls = dmrs_rx * jnp.asarray(np.conj(dmrs_ref))[None, None, :]
     h = jnp.matmul(ls, W, preferred_element_type=jnp.complex64)  # [B, 2, M]
     Wt = jnp.asarray(_ul_time_weights(tuple(pm.data_syms.tolist()),
-                                      pm.fp.normal_cp))          # [C, 2]
+                                      pm.fp.normal_cp,
+                                      pm.hopped))                # [C, 2]
     return jnp.einsum("cp,bpm->bcm", Wt, h)
 
 

@@ -52,22 +52,35 @@ def dmrs_symbol_indices(fp: FrameParms) -> tuple:
 
 @dataclass(frozen=True)
 class PuschMap:
-    """Static RE/interleaver maps for one PUSCH allocation."""
+    """Static RE/interleaver maps for one PUSCH allocation. With PUSCH
+    frequency hopping (36.211 §5.3.4) the second slot sits at
+    `rb_offset2`; per-symbol bin tables carry the hop."""
     fp: FrameParms
     n_rb_alloc: int
     rb_offset: int
     m_sc: int
     data_syms: np.ndarray    # [n_data_sym] SC-FDMA symbol indices
     dmrs_syms: np.ndarray    # [2]
-    sc_bins: np.ndarray      # [m_sc] FFT bins of the allocation
+    sc_bins: np.ndarray      # [m_sc] FFT bins (slot 0 / unhopped)
     interleave: np.ndarray   # [n_mod_sym] perm: time-interleaved -> serial
+    rb_offset2: int = None   # second-slot PRB start (hopping); None = same
+    sc_bins_sym: np.ndarray = None   # [n_data_sym, m_sc] per-symbol bins
+    dmrs_bins: np.ndarray = None     # [2, m_sc] per-DMRS-symbol bins
+
+    @property
+    def hopped(self) -> bool:
+        return self.rb_offset2 is not None and \
+            self.rb_offset2 != self.rb_offset
 
 
 @functools.lru_cache(maxsize=None)
 def make_pusch_map(n_rb: int, n_rb_alloc: int, rb_offset: int = 0,
-                   normal_cp: bool = True, srs: bool = False) -> PuschMap:
+                   normal_cp: bool = True, srs: bool = False,
+                   rb_offset2: int | None = None) -> PuschMap:
     """srs=True vacates the last SC-FDMA symbol for the sounding RS
-    (36.211 §5.5.3; the reference shortens Nsymb_pusch the same way)."""
+    (36.211 §5.5.3; the reference shortens Nsymb_pusch the same way).
+    rb_offset2: second-slot PRB start for intra-subframe frequency
+    hopping (phy/hopping.pusch_hopped_rb_start)."""
     fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
     m_sc = 12 * n_rb_alloc
     dmrs = dmrs_symbol_indices(fp)
@@ -77,8 +90,16 @@ def make_pusch_map(n_rb: int, n_rb_alloc: int, rb_offset: int = 0,
     # UL subcarriers are contiguous (no DC puncture — the real grid sits at a
     # half-subcarrier offset via the 7.5 kHz shift); map them symmetrically
     # around bin 0.
-    f_idx = rb_offset * 12 + np.arange(m_sc, dtype=np.int64) - 6 * n_rb
-    sc_bins = np.mod(f_idx, fp.n_fft).astype(np.int32)
+    def bins_at(off):
+        f_idx = off * 12 + np.arange(m_sc, dtype=np.int64) - 6 * n_rb
+        return np.mod(f_idx, fp.n_fft).astype(np.int32)
+    sc_bins = bins_at(rb_offset)
+    off2 = rb_offset if rb_offset2 is None else rb_offset2
+    bins2 = bins_at(off2)
+    half = fp.symbols_per_subframe // 2
+    sc_bins_sym = np.stack([sc_bins if l < half else bins2
+                            for l in data_syms])
+    dmrs_bins = np.stack([sc_bins if l < half else bins2 for l in dmrs])
     # 36.212 §5.2.2.8 channel interleaver, data-only: an (Rmux x Cmux) matrix
     # with Cmux = n_data_sym columns is written row-major in Qm-bit symbols
     # and read column-major; combined with the k-then-l grid mapping this
@@ -90,7 +111,9 @@ def make_pusch_map(n_rb: int, n_rb_alloc: int, rb_offset: int = 0,
     return PuschMap(fp=fp, n_rb_alloc=n_rb_alloc, rb_offset=rb_offset,
                     m_sc=m_sc, data_syms=data_syms,
                     dmrs_syms=np.asarray(dmrs, np.int32),
-                    sc_bins=sc_bins, interleave=idx.astype(np.int32))
+                    sc_bins=sc_bins, interleave=idx.astype(np.int32),
+                    rb_offset2=off2, sc_bins_sym=sc_bins_sym,
+                    dmrs_bins=dmrs_bins)
 
 
 def pusch_fill_grid(sym, pm: PuschMap, dmrs_val: np.ndarray):
@@ -114,19 +137,20 @@ def pusch_fill_grid_x(x, pm: PuschMap, dmrs_val: np.ndarray):
     xf = transform_precode(x)
     grid = jnp.zeros((B, fp.symbols_per_subframe, fp.n_fft), jnp.complex64)
     grid = grid.at[:, jnp.asarray(pm.data_syms)[:, None],
-                   jnp.asarray(pm.sc_bins)[None, :]].set(xf)
+                   jnp.asarray(pm.sc_bins_sym)].set(xf)
     dm = jnp.asarray(dmrs_val.astype(np.complex64))
     grid = grid.at[:, jnp.asarray(pm.dmrs_syms)[:, None],
-                   jnp.asarray(pm.sc_bins)[None, :]].set(
+                   jnp.asarray(pm.dmrs_bins)].set(
         jnp.broadcast_to(dm, (B, 2, M)))
     return grid
 
 
 def pusch_extract(grid, pm: PuschMap):
     """grid [B, nsym, n_fft] -> (data [B, C, M], dmrs [B, 2, M])."""
-    bins = jnp.asarray(pm.sc_bins)
-    data = grid[:, jnp.asarray(pm.data_syms)[:, None], bins[None, :]]
-    dmrs = grid[:, jnp.asarray(pm.dmrs_syms)[:, None], bins[None, :]]
+    data = grid[:, jnp.asarray(pm.data_syms)[:, None],
+                jnp.asarray(pm.sc_bins_sym)]
+    dmrs = grid[:, jnp.asarray(pm.dmrs_syms)[:, None],
+                jnp.asarray(pm.dmrs_bins)]
     return data, dmrs
 
 

@@ -57,6 +57,13 @@ class UlsimConfig:
     dmrs_group: int = 0           # u (group hopping off)
     dmrs_cyclic_shift: int = 0
     uci: UciConfig = field(default_factory=UciConfig)
+    # PUSCH frequency hopping (36.211 §5.3.4; VERDICT r3 item 10): the
+    # DCI-0 hopping-bit value, or None = hopping off. The all-ones value
+    # selects type 2 (pseudo-random sub-band hopping, n_sb/n_rb_ho from
+    # SIB2 pusch-Config); others are type-1 explicit offsets.
+    hopping_bits: int | None = None
+    n_sb: int = 1
+    n_rb_ho: int = 0
 
 
 class Ulsim:
@@ -65,7 +72,14 @@ class Ulsim:
     def __init__(self, cfg: UlsimConfig):
         self.cfg = cfg
         self.fp = FrameParms(n_rb=cfg.n_rb, n_id_cell=cfg.n_id_cell)
-        self.pm = make_pusch_map(cfg.n_rb, cfg.n_rb_alloc, cfg.rb_offset)
+        rb2 = None
+        if cfg.hopping_bits is not None:
+            from ..phy.hopping import pusch_hopped_rb_start
+            rb2 = pusch_hopped_rb_start(
+                cfg.rb_offset, cfg.n_rb_alloc, cfg.n_rb, 1,
+                cfg.hopping_bits, cfg.n_id_cell, cfg.n_sb, cfg.n_rb_ho)
+        self.pm = make_pusch_map(cfg.n_rb, cfg.n_rb_alloc, cfg.rb_offset,
+                                 rb_offset2=rb2)
         Qm = get_Qm_ul(cfg.mcs)
         C = len(self.pm.data_syms)
 
@@ -91,6 +105,9 @@ class Ulsim:
         self.f_idx = tuple(
             (cfg.rb_offset * 12 + np.arange(self.pm.m_sc) - 6 * cfg.n_rb
              ).tolist())
+        self.f_idx2 = tuple(
+            (self.pm.rb_offset2 * 12 + np.arange(self.pm.m_sc)
+             - 6 * cfg.n_rb).tolist())
         cinit = pusch_cinit(cfg.rnti, 2 * cfg.subframe, cfg.n_id_cell)
         # scrambling sequence over the full interleaved grid (row-major
         # [C, M, Qm] = the 36.211 §5.3.1 output order); UCI positions carry
@@ -210,7 +227,21 @@ class Ulsim:
             grid = pusch_fill_grid_x(x, self.pm, self.dmrs)
             taps = self.chan.draw_taps(splits[:, 2 + 2 * rnd], B)
             H = self.chan.freq_response_at(taps, self.f_idx)   # [B, M]
-            grid = apply_channel_bins(grid, H, self.pm.sc_bins, self.fp.n_fft)
+            if self.pm.hopped:
+                # per-slot channel application: slot 1 sits at the
+                # hopped PRBs, so it sees the channel there
+                H2 = self.chan.freq_response_at(taps, self.f_idx2)
+                half = self.fp.symbols_per_subframe // 2
+                g0 = apply_channel_bins(grid[:, :half], H,
+                                        self.pm.sc_bins, self.fp.n_fft)
+                bins2 = np.mod(np.asarray(self.f_idx2), self.fp.n_fft)
+                g1 = apply_channel_bins(grid[:, half:], H2,
+                                        bins2.astype(np.int32),
+                                        self.fp.n_fft)
+                grid = jnp.concatenate([g0, g1], axis=1)
+            else:
+                grid = apply_channel_bins(grid, H, self.pm.sc_bins,
+                                          self.fp.n_fft)
             t = ofdm.ofdm_modulate(grid, self.fp)
             nr = jax.vmap(lambda k: jax.random.normal(
                 k, t.shape[1:] + (2,)))(splits[:, 3 + 2 * rnd])
@@ -218,7 +249,12 @@ class Ulsim:
             rgrid = ofdm.ofdm_demodulate(rx, self.fp)
             y, dmrs_rx = pusch_extract(rgrid, self.pm)     # [B,C,M],[B,2,M]
             if cfg.perfect_ce:
-                H_data = jnp.broadcast_to(H[:, None, :], y.shape)
+                if self.pm.hopped:
+                    half = self.fp.symbols_per_subframe // 2
+                    Hs = [H if l < half else H2 for l in self.pm.data_syms]
+                    H_data = jnp.stack(Hs, axis=1)
+                else:
+                    H_data = jnp.broadcast_to(H[:, None, :], y.shape)
             else:
                 H_data = ul_estimate_channel(dmrs_rx, self.dmrs, self.pm,
                                              wiener)
