@@ -111,7 +111,8 @@ def make_wiener_stack(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _wiener_matrix_joint(n_rb: int, pilot_offs: tuple, n0: float,
-                         normal_cp: bool = True) -> np.ndarray:
+                         normal_cp: bool = True,
+                         prior: tuple | None = None) -> np.ndarray:
     """[Np_total, n_sc] joint 2D-LMMSE matrix over ALL pilot symbols of the
     subframe under a quasi-static prior (valid through the 36.101 corpus
     Dopplers: J0(2*pi*70Hz*0.5ms) = 0.99). Combining the two comb offsets
@@ -127,19 +128,23 @@ def _wiener_matrix_joint(n_rb: int, pilot_offs: tuple, n0: float,
     fd_idx = _signed_freq_idx(fp, d_sc)[:, None]
     Fp = np.exp(-2j * np.pi * fp_idx * taps[None, :] / fp.n_fft)
     Fd = np.exp(-2j * np.pi * fd_idx * taps[None, :] / fp.n_fft)
-    P = _delay_prior(fp)
+    P = _delay_prior(fp) if prior is None else np.asarray(prior)
     A = (Fp * P) @ Fp.conj().T + n0 * np.eye(len(all_sc))
     W = (Fd * P) @ Fp.conj().T @ np.linalg.inv(A)
     return W.T.astype(np.complex64)
 
 
-def make_wiener_joint(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
+def make_wiener_joint(gm: GridMap, n0: float, port: int = 0,
+                      prior=None) -> np.ndarray:
     """[Np_total, n_sc, 2] float32 (re/im packed) joint estimator matrix for
-    estimate_channel(..., mode="joint")."""
+    estimate_channel(..., mode="joint"). `prior`: optional explicit
+    delay-power prior over the cp+2 tap support (e.g. the channel
+    model's actual PDP — pdp_prior) instead of the generic exp decay."""
     fp = gm.fp
     _, pilot_sc, _, _ = _port_pilot_arrays(gm, port)
     offs = tuple(int(pilot_sc[s, 0] % 6) for s in range(pilot_sc.shape[0]))
-    c = _wiener_matrix_joint(fp.n_rb, offs, float(n0), fp.normal_cp)
+    pr = None if prior is None else tuple(np.asarray(prior, float).tolist())
+    c = _wiener_matrix_joint(fp.n_rb, offs, float(n0), fp.normal_cp, pr)
     return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
 
 
@@ -196,7 +201,8 @@ def estimate_channel(rgrid, gm: GridMap, wiener_stack,
     return jnp.einsum("sp,bpk->bsk", Wt, h_p)              # [B, nsym, n_sc]
 
 
-def joint_err_var(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
+def joint_err_var(gm: GridMap, n0: float, port: int = 0,
+                  prior=None) -> np.ndarray:
     """[n_sc] float32 posterior error variance of the joint estimator:
     sigma_e^2(k) = prior_var - diag(W A^-1-form cross term). Feeding this
     into the equalizer's noise term (n0_eff = (n0 + sigma_e^2)/|H|^2)
@@ -213,10 +219,34 @@ def joint_err_var(gm: GridMap, n0: float, port: int = 0) -> np.ndarray:
                 * taps[None, :] / fp.n_fft)
     Fd = np.exp(-2j * np.pi * _signed_freq_idx(fp, d_sc)[:, None]
                 * taps[None, :] / fp.n_fft)
-    P = _delay_prior(fp)
+    P = _delay_prior(fp) if prior is None else np.asarray(prior, float)
     A = (Fp * P) @ Fp.conj().T + n0 * np.eye(len(all_sc))
     C = (Fd * P) @ Fp.conj().T          # [n_sc, Np]
     W = C @ np.linalg.inv(A)
     prior_var = float(np.sum(P))
     post = prior_var - np.einsum("kp,kp->k", W, C.conj()).real
     return np.maximum(post, 0.0).astype(np.float32)
+
+
+def pdp_prior(fp: FrameParms, delays_us, amps, delay_scale: float = 1.0,
+              floor: float = 1e-4) -> np.ndarray:
+    """Delay-power prior built from an actual channel PDP: tap powers
+    accumulated at their (scaled) sample positions over the cp+2 support,
+    plus a small uniform floor for robustness. Used by the EVA-residual
+    ablation (est_prior="pdp") to bound the estimator's achievable
+    performance under matched statistics."""
+    L = fp.cp + 2
+    fs = fp.n_fft * 15000.0
+    P = np.full(L, floor, float)
+    a = np.asarray(amps, float)
+    a = a / a.sum()
+    for d_us, p in zip(np.asarray(delays_us, float), a):
+        pos = d_us * 1e-6 * delay_scale * fs
+        i = int(np.floor(pos))
+        frac = pos - i
+        if i + 1 < L:
+            P[i] += p * (1 - frac)
+            P[i + 1] += p * frac
+        elif i < L:
+            P[i] += p
+    return P / P.sum()

@@ -168,6 +168,11 @@ class DlsimFadingConfig:
     snr_convention: str = "per_re"  # "per_re" (Es/N0 per data RE) or
     #   "dlsim" (reference dlsim.c:2852 grid-average convention; see
     #   dlsim_snr_offset_db) — use "dlsim" when comparing to the corpus.
+    est_prior: str = "exp"        # joint-estimator delay prior: "exp"
+    #   (generic CP/8 decay) or "pdp" (matched to this channel model's
+    #   actual scaled PDP — the genie-prior ablation bound)
+    use_est_err_var: bool = True  # feed the estimator's posterior error
+    #   variance into the LLR noise term (ablation knob)
     n_pdcch_symbols: int = 1
     subframe: int = 7
     rnti: int = 0x1234
@@ -211,18 +216,31 @@ class DlsimFading:
         self._tx = jax.jit(self._tx_encode)
         self._rounds = {}
 
+    def _prior(self):
+        if self.cfg.est_prior != "pdp":
+            return None
+        from ..phy.channel_est import pdp_prior
+        from .channels import PROFILES
+        delays_us, amps_db = PROFILES[self.cfg.channel]
+        return pdp_prior(self.fp, delays_us,
+                         10.0 ** (0.1 * np.asarray(amps_db)),
+                         self.cfg.delay_scale)
+
     def wiener(self, snr_db: float):
         n0 = 10.0 ** (-snr_db / 10.0)
         if self.cfg.est_mode == "joint":
-            return jnp.asarray(make_wiener_joint(self.gm, n0))
+            return jnp.asarray(make_wiener_joint(self.gm, n0,
+                                                 prior=self._prior()))
         return jnp.asarray(make_wiener_stack(self.gm, n0))
 
     def err_var(self, snr_db: float):
         """[n_data] per-RE estimation-error variance (0 for perfect CE /
         interp mode, where the old behavior is preserved)."""
-        if self.cfg.perfect_ce or self.cfg.est_mode != "joint":
+        if self.cfg.perfect_ce or self.cfg.est_mode != "joint" \
+                or not self.cfg.use_est_err_var:
             return jnp.zeros(len(self.gm.data_sc), jnp.float32)
-        ev = joint_err_var(self.gm, 10.0 ** (-snr_db / 10.0))
+        ev = joint_err_var(self.gm, 10.0 ** (-snr_db / 10.0),
+                           prior=self._prior())
         return jnp.asarray(ev[self.gm.data_sc])
 
     def _tx_encode(self, keys):

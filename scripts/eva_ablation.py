@@ -26,20 +26,42 @@ from openair4g_tpu.sim.dlsim import DlsimFading, DlsimFadingConfig
 REF_SCALE = 0.6510416667          # BW/f_s, identical at all LTE bandwidths
 
 # (case, mcs, n_rb, n_pdcch, channel, snr_db, delay_scale, perfect_ce,
-#  reference round-0 BLER)
+#  reference round-0 BLER, extra-config dict)
 CASES = [
-    ("test1_ref",  5, 50, 2, "EVA", -2.8, REF_SCALE, False, 0.353),
-    ("test6_ref", 15, 50, 2, "EVA",  4.6, REF_SCALE, False, 0.409),
-    ("test6b_ref", 14, 25, 3, "EVA", 4.8, REF_SCALE, False, 0.381),
-    ("test10_ref", 25, 25, 3, "EVA", 13.8, REF_SCALE, False, 0.421),
-    ("test11_ref", 26, 50, 2, "EVA", 14.6, REF_SCALE, False, 0.337),
-    ("test7_ref", 15, 50, 2, "ETU", -1.0, REF_SCALE, False, 1.0),
-    # estimation-loss split on test 6 under both channel statistics
-    ("test6_ref_pce", 15, 50, 2, "EVA", 4.6, REF_SCALE, True, None),
-    ("test6_true_pce", 15, 50, 2, "EVA", 4.6, 1.0, True, None),
+    ("test1_ref",  5, 50, 2, "EVA", -2.8, REF_SCALE, False, 0.353, {}),
+    ("test6_ref", 15, 50, 2, "EVA",  4.6, REF_SCALE, False, 0.409, {}),
+    ("test6b_ref", 14, 25, 3, "EVA", 4.8, REF_SCALE, False, 0.381, {}),
+    ("test10_ref", 25, 25, 3, "EVA", 13.8, REF_SCALE, False, 0.421, {}),
+    ("test11_ref", 26, 50, 2, "EVA", 14.6, REF_SCALE, False, 0.337, {}),
+    ("test7_ref", 15, 50, 2, "ETU", -1.0, REF_SCALE, False, 1.0, {}),
+    # --- round-4 discriminating ablations on test 6 @ 0.651 ------------
+    # E1: estimation loss removed entirely
+    ("test6_ref_pce", 15, 50, 2, "EVA", 4.6, REF_SCALE, True, None, {}),
+    # E2: genie delay prior (estimator matched to the compressed PDP)
+    ("test6_ref_pdp", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
+     dict(est_prior="pdp")),
+    # E3: per-pilot-symbol interp estimator (the reference's mode analog)
+    ("test6_ref_interp", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
+     dict(est_mode="interp")),
+    # E5: single RX chain (MRC handling out of the loop)
+    ("test6_ref_1rx", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
+     dict(n_rx=1)),
+    # E6: estimation-error variance NOT fed to the LLR noise term
+    ("test6_ref_noev", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
+     dict(use_est_err_var=False)),
+    # E4: dB quantification — SNR offsets around the operating point
+    ("test6_ref_p05", 15, 50, 2, "EVA", 5.1, REF_SCALE, False, None, {}),
+    ("test6_ref_p10", 15, 50, 2, "EVA", 5.6, REF_SCALE, False, None, {}),
+    # same discriminators on the 64QAM outlier (test 10)
+    ("test10_ref_pce", 25, 25, 3, "EVA", 13.8, REF_SCALE, True, None, {}),
+    ("test10_ref_pdp", 25, 25, 3, "EVA", 13.8, REF_SCALE, False, None,
+     dict(est_prior="pdp")),
+    ("test10_ref_p05", 25, 25, 3, "EVA", 14.3, REF_SCALE, False, None, {}),
+    # estimation-loss split under true channel statistics
+    ("test6_true_pce", 15, 50, 2, "EVA", 4.6, 1.0, True, None, {}),
     # true-delay controls (should reproduce fading_campaign.json)
-    ("test6_true", 15, 50, 2, "EVA", 4.6, 1.0, False, None),
-    ("test1_true", 5, 50, 2, "EVA", -2.8, 1.0, False, None),
+    ("test6_true", 15, 50, 2, "EVA", 4.6, 1.0, False, None, {}),
+    ("test1_true", 5, 50, 2, "EVA", -2.8, 1.0, False, None, {}),
 ]
 
 
@@ -66,15 +88,17 @@ def main():
             json.dump(results, f, indent=1)
         print("wrote", out_path)
         return
-    for name, mcs, n_rb, c, chan, snr, scale, pce, ref in CASES:
+    for name, mcs, n_rb, c, chan, snr, scale, pce, ref, extra in CASES:
         if name != only:
             continue
         batch = 128 if n_rb == 50 else 256
+        kw = dict(n_rx=2, est_mode="joint")
+        kw.update(extra)
         cfg = DlsimFadingConfig(mcs=mcs, n_rb=n_rb, channel=chan,
-                                n_pdcch_symbols=c, n_rx=2,
+                                n_pdcch_symbols=c,
                                 n_harq_rounds=1, batch=batch,
                                 delay_scale=scale, perfect_ce=pce,
-                                snr_convention="dlsim", est_mode="joint")
+                                snr_convention="dlsim", **kw)
         sim = DlsimFading(cfg)
         t0 = time.time()
         errs, reach = sim.run_snr(snr, n_trials)
@@ -83,7 +107,7 @@ def main():
         res = {name: dict(mcs=mcs, n_rb=n_rb, channel=chan, snr_db=snr,
                           delay_scale=scale, perfect_ce=pce,
                           errs=int(errs[0]), trials=int(reach[0]),
-                          bler=bler, ref_bler=ref,
+                          bler=bler, ref_bler=ref, extra=extra,
                           seconds=round(dt, 1))}
         print(f"{name}: bler={bler:.3f} ref={ref} ({dt:.0f}s)", flush=True)
         with open(out_path, "w") as f:
