@@ -59,6 +59,7 @@ from ..phy.dci_formats import (pack_dci_format1c, unpack_dci_format1c,
                                unpack_dci_format0)
 from ..phy.pdsch import DlschConfig, DlschCodec
 from ..phy.prach import (preamble_freq, prach_detect, n_preambles, N_ZC,
+                         NCS_UNRESTRICTED,
                          prach_time_generate, prach_time_detect,
                          prach_samples_per_seq)
 from ..ops.gold import gold_sequence, pdsch_cinit, scramble_bits, \
@@ -220,12 +221,15 @@ class DlAir:
         return self._pscr[ns]
 
     # ---------------------------------------------------------------- TX --
-    def transmit(self, subframe: int, pdsch=None, ul_grant_rnti=None):
-        """Build + send one DL subframe.
+    def transmit_clean(self, subframe: int, pdsch=None, ul_grants=()):
+        """Build one DL subframe -> CLEAN time-domain wave (no noise).
 
         pdsch: None or (kind, rnti, tb_bytes) with kind 'common' (DCI 1C)
-        or 'ded' (DCI 1A). ul_grant_rnti: C-RNTI to receive a DCI format-0
-        UL grant (cfg.ul alloc). Returns the UE-side received grid [1,..].
+        or 'ded' (DCI 1A). ul_grants: [(rnti, Alloc)] DCI format-0 UL
+        grants (several UEs may be granted disjoint PRBs in one TTI).
+        The broadcast wave is shared by every listening UE; each adds its
+        own receiver noise (ue_demod) — the oaisim full-PHY semantic of
+        coupling all eNB x UE pairs at sample level (channel_sim.c:81).
         """
         cfg = self.cfg
         alloc = (cfg.common if pdsch and pdsch[0] == "common" else cfg.ded)
@@ -247,15 +251,15 @@ class DlAir:
                 cand = ue_search_candidates(n_cce, rnti, subframe)[0]
             dcis.append((payload, rnti, cand.L, cand.cce_offset))
             used.update(range(cand.cce_offset, cand.cce_offset + cand.L))
-        if ul_grant_rnti is not None:
-            g = cfg.ul
+        for g_rnti, g in ul_grants:
             payload = pack_dci_format0(cfg.n_rb, g.rb_start, g.n_prb,
                                        g.mcs, ndi=1)
             cand = next(c for c in
-                        ue_search_candidates(n_cce, ul_grant_rnti, subframe)
+                        ue_search_candidates(n_cce, g_rnti, subframe)
                         if not used & set(range(c.cce_offset,
                                                 c.cce_offset + c.L)))
-            dcis.append((payload, ul_grant_rnti, cand.L, cand.cce_offset))
+            used.update(range(cand.cce_offset, cand.cce_offset + cand.L))
+            dcis.append((payload, g_rnti, cand.L, cand.cce_offset))
         enb.set_dcis(dcis)
 
         codec = self.codec(alloc)
@@ -267,11 +271,21 @@ class DlAir:
             e = jnp.zeros((1, codec.cfg.G), jnp.int32)
         syms = map_symbols(e, codec.cfg.Qm).astype(jnp.complex64)
         grid = enb.data_subframe(syms)
-        t = np.asarray(ofdm.ofdm_modulate(grid, self.fp))
-        noise = (self.rng.standard_normal(t.shape)
-                 + 1j * self.rng.standard_normal(t.shape)) \
+        return np.asarray(ofdm.ofdm_modulate(grid, self.fp))
+
+    def ue_demod(self, t: np.ndarray, rng=None):
+        """One UE's receiver front end: its own AWGN + OFDM demod."""
+        rng = self.rng if rng is None else rng
+        noise = (rng.standard_normal(t.shape)
+                 + 1j * rng.standard_normal(t.shape)) \
             * np.sqrt(self.n0 / 2)
         return ofdm.ofdm_demodulate(jnp.asarray(t + noise), self.fp)
+
+    def transmit(self, subframe: int, pdsch=None, ul_grant_rnti=None):
+        """Single-UE path: clean wave + this sim's noise in one call."""
+        grants = [(ul_grant_rnti, self.cfg.ul)] if ul_grant_rnti is not \
+            None else ()
+        return self.ue_demod(self.transmit_clean(subframe, pdsch, grants))
 
     # ---------------------------------------------------------------- RX --
     def receive(self, rgrid, subframe: int, common_rntis: list,
@@ -374,18 +388,37 @@ class UlAir:
             pdu: bytes) -> bytes | None:
         """MAC PDU bytes -> PUSCH -> eNB decode -> bytes (None on CRC
         fail)."""
-        tx, rx = self.pair(alloc, rnti, subframe)
-        tb = _bytes_to_tb(pdu, tx.codec.cfg.tbs)
-        wave = np.asarray(tx.pusch_subframe(jnp.asarray(tb[None])))
-        noise = (self.rng.standard_normal(wave.shape)
-                 + 1j * self.rng.standard_normal(wave.shape)) \
+        return self.run_multi([(alloc, rnti, subframe, pdu)])[0]
+
+    def run_multi(self, entries: list) -> list:
+        """Several UEs' PUSCH subframes in ONE TTI: the time-domain waves
+        SUM in the air (disjoint PRBs -> FDM; identical allocations -> a
+        real Msg3 collision whose sum fails CRC), then the eNB runs one
+        receiver per granted allocation on the composite signal
+        (oaisim do_UL_sig coupling, channel_sim.c:398).
+
+        entries: [(Alloc, rnti, subframe, pdu_bytes)] -> [bytes | None].
+        """
+        waves = []
+        for alloc, rnti, subframe, pdu in entries:
+            tx, _ = self.pair(alloc, rnti, subframe)
+            tb = _bytes_to_tb(pdu, tx.codec.cfg.tbs)
+            waves.append(np.asarray(tx.pusch_subframe(jnp.asarray(tb[None]))))
+        total = np.sum(waves, axis=0)
+        total = total + (self.rng.standard_normal(total.shape)
+                         + 1j * self.rng.standard_normal(total.shape)) \
             * np.sqrt(self.n0 / 2)
-        tb_hat, ok, _ = rx.receive_pusch(jnp.asarray(wave + noise), self.n0)
-        if not bool(ok[0]):
-            LOG_W("PHY", "PUSCH CRC fail (rnti=0x%04x sf=%d)", rnti,
-                  subframe)
-            return None
-        return _tb_to_bytes(tb_hat[0])
+        out = []
+        for alloc, rnti, subframe, pdu in entries:
+            _, rx = self.pair(alloc, rnti, subframe)
+            tb_hat, ok, _ = rx.receive_pusch(jnp.asarray(total), self.n0)
+            if not bool(ok[0]):
+                LOG_W("PHY", "PUSCH CRC fail (rnti=0x%04x sf=%d)", rnti,
+                      subframe)
+                out.append(None)
+            else:
+                out.append(_tb_to_bytes(tb_hat[0]))
+        return out
 
 
 def _srb_pdcp(direction: int) -> PdcpEntity:
@@ -414,6 +447,8 @@ class UeStack:
     msg3: bytes | None = None
     crnti: int | None = None
     delivered_ip: list = field(default_factory=list)
+    ra_tti: int = 0                 # when the preamble went out
+    contention_losses: int = 0
 
     def queue_srb1(self, rrc_sdu: bytes) -> None:
         """RRC SDU -> SRB1 PDCP PDU -> RLC-AM tx queue."""
@@ -451,7 +486,7 @@ class FullStackSim:
         self.mme = Mme(hss, self.sgw)
         self.enb_rrc = RrcEnb(sib1=Sib1(), sib2=Sib2(
             prach_root_sequence=cfg.prach_root,
-            zero_correlation_zone=cfg.prach_ncs // 13,
+            zero_correlation_zone=NCS_UNRESTRICTED.index(cfg.prach_ncs),
             default_paging_cycle=cfg.paging_cycle_idx))
         self.enb_app = EnbApp(self.mme, self.sgw, msc=self.msc,
                               pcap=self.pcap)

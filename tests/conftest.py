@@ -41,6 +41,8 @@ _SLOW = {
     "test_tddsim.py::test_tdd_25prb_frame",
     "test_paging.py::test_mt_attach_via_paging_over_the_air",
     "test_capstone.py::test_capstone_big_nas_segmentation",
+    "test_capstone_multiue.py::test_two_ues_full_phy_attach",
+    "test_capstone_multiue.py::test_two_ues_prach_collision_resolved",
 }
 
 
