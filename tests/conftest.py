@@ -43,6 +43,9 @@ _SLOW = {
     "test_capstone.py::test_capstone_big_nas_segmentation",
     "test_capstone_multiue.py::test_two_ues_full_phy_attach",
     "test_capstone_multiue.py::test_two_ues_prach_collision_resolved",
+    "test_bler_anchor.py::test_awgn_ladder_anchor[17-8.1-8.4-8.8]",
+    "test_bler_anchor.py::test_awgn_ladder_anchor[21-10.9-11.2-11.6]",
+    "test_bler_anchor.py::test_awgn_ladder_anchor[27-15.5-15.8-16.3]",
 }
 
 

@@ -66,3 +66,35 @@ def test_etu_harq_gain_ordering():
     # strict per-round improvement while counts are meaningful
     assert bler[1] < bler[0] and bler[2] < bler[1], bler
     assert errs[3] <= errs[2]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mcs,lo,mid,hi", [
+    (2, -4.4, -4.0, -3.4),
+    (9, 1.7, 2.0, 2.3),
+    (13, 4.7, 5.0, 5.3),
+    (17, 8.1, 8.4, 8.8),
+    (21, 10.9, 11.2, 11.6),
+    (27, 15.5, 15.8, 16.3),
+])
+def test_awgn_ladder_anchor(mcs, lo, mid, hi):
+    """Round-4 AWGN MCS 0-27 ladder anchors (awgn_campaign.json, chip,
+    2048-8192 trials/point; every curve better than the reference's
+    bler_tx1_chan18_nrx1_mcsN.csv at the 50/10/1% crossings). Six
+    spread-out MCS (QPSK/16QAM/64QAM incl. multi-segment TBs at 21/27)
+    pinned at below-knee / mid-knee / above-knee with 256-trial margins;
+    a >~0.4 dB drift in either direction fails. Conditions: 25 PRB,
+    1 PDCCH symbol, estimated CE (interp), snr_convention='dlsim'."""
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=mcs, n_rb=25, channel="AWGN", n_pdcch_symbols=1, n_rx=1,
+        n_harq_rounds=1, batch=128, est_mode="interp",
+        snr_convention="dlsim"))
+    errs, reach = sim.run_snr(lo, 256)
+    assert errs[0] >= reach[0] * 0.8, ("below-knee", errs, reach)
+    errs, reach = sim.run_snr(mid, 256)
+    assert reach[0] * 0.15 <= errs[0] <= reach[0] * 0.85, \
+        ("mid-knee", errs, reach)
+    errs, reach = sim.run_snr(hi, 256)
+    assert errs[0] <= reach[0] * 0.12, ("above-knee", errs, reach)
