@@ -22,16 +22,73 @@ import jax.numpy as jnp
 
 
 def main():
+    # HEADLINE (VERDICT r3 item 4): the reference's 1 ms SCHED_DEADLINE
+    # budget is defined for a 20 MHz eNB subframe (lte-softmodem.c:1031),
+    # so the vs_baseline metric is the 100-PRB MCS26 FULL chain —
+    # eNB TX -> EVA fading -> estimated-CE UE RX -> 8-iter decode.
+    sf20 = _bench_fullchain_20mhz()
+
+    extras = {"pdsch_20mhz_mcs26_fading_estce_subframes_per_s": sf20}
+    try:
+        extras["pdsch_5mhz_mcs4_awgn_subframes_per_s"] = _bench_light()
+        extras["turbo_decode_mbit_per_s"] = _bench_turbo()
+        extras["ofdm_equalize_msamples_per_s"] = _bench_ofdm_equalize()
+    except Exception as e:          # pragma: no cover
+        extras["error"] = repr(e)
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(extras, f, indent=1)
+
+    print(json.dumps({
+        "metric": "pdsch_subframes_per_s_per_chip"
+                  "(mcs26_100prb_EVA_estCE_8iter)",
+        "value": round(sf20, 1),
+        "unit": "subframes/s",
+        "vs_baseline": round(sf20 / 1000.0, 3),
+    }))
+
+
+def _bench_fullchain_20mhz() -> float:
+    """100 PRB / MCS26 / EVA fading / estimated (joint-LMMSE) CE / MRC /
+    8-iteration decode — the honest 20 MHz flagship subframes/s."""
+    from openair4g_tpu.sim.dlsim import DlsimFading, DlsimFadingConfig
+    from openair4g_tpu.utils.rng import host_keys
+    batch = 64
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=26, n_rb=100, channel="EVA", n_rx=1, n_harq_rounds=1,
+        batch=batch, est_mode="joint", n_turbo_iter=8))
+    snr = 24.0
+    n0 = jnp.float32(10.0 ** (-snr / 10.0))
+    W = sim.wiener(snr)
+    ev = sim.err_var(snr)
+    rnd0 = sim._round(0)
+
+    def step(i):
+        keys = jnp.asarray(host_keys(0, batch, stream=i))
+        d, kc, kn = sim._tx(keys)
+        ok, _, _ = rnd0(d, kc[0], kn[0], n0, W, ev)
+        return ok
+
+    ok0 = np.asarray(step(0))                   # compile + settle
+    assert ok0.sum() > 0, "20 MHz chain not decoding at bench SNR"
+    n_rep = 10
+    best = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        outs = [step(w * n_rep + i + 1) for i in range(n_rep)]
+        np.asarray(outs[-1]).sum()              # force the pipeline
+        best = min(best, time.perf_counter() - t0)
+    return n_rep * batch / best
+
+
+def _bench_light() -> float:
+    """Secondary: the light 5 MHz MCS4 AWGN chain (rounds 1-3 record)."""
     from openair4g_tpu.sim.dlsim import DlsimConfig, DlsimAwgn
     from openair4g_tpu.utils.rng import host_keys
-
     batch = 512
     sim = DlsimAwgn(DlsimConfig(mcs=4, n_rb=25, batch=batch, n_turbo_iter=8))
     n0 = jnp.float32(10.0 ** (-1.0 / 10.0))
-
     keys0 = jnp.asarray(host_keys(0, batch))
     np.asarray(sim._step(keys0, n0)[0])        # compile + settle
-
     n_rep = 20
     best = float("inf")
     ok_total = 0
@@ -43,25 +100,8 @@ def main():
             outs.append(sim._step(keys, n0)[0])
         ok_total = int(np.asarray(outs[-1]).sum())   # forces the pipeline
         best = min(best, time.perf_counter() - t0)
-
-    sf_per_s = n_rep * batch / best
     assert ok_total > 0
-
-    extras = {}
-    try:
-        extras["turbo_decode_mbit_per_s"] = _bench_turbo()
-        extras["ofdm_equalize_msamples_per_s"] = _bench_ofdm_equalize()
-    except Exception as e:          # pragma: no cover
-        extras["error"] = repr(e)
-    with open("BENCH_extra.json", "w") as f:
-        json.dump(extras, f, indent=1)
-
-    print(json.dumps({
-        "metric": "pdsch_subframes_per_s_per_chip(mcs4_25prb_8iter)",
-        "value": round(sf_per_s, 1),
-        "unit": "subframes/s",
-        "vs_baseline": round(sf_per_s / 1000.0, 3),
-    }))
+    return round(n_rep * batch / best, 1)
 
 
 def _pipeline_best(fn, args_fn, n_rep: int = 10, windows: int = 3):

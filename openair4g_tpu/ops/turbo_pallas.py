@@ -151,17 +151,37 @@ def _build_call(T: int, W: int, U: int, n_tiles: int,
     )
 
 
-def half_iteration_pallas(lin, lp, W: int, U: int, interpret: bool = False):
+def prep_parity(lp, W: int, U: int):
+    """Window-frame + pad the PARITY gammas once: inside the turbo
+    iteration scan the parity streams are loop-invariant, but XLA does
+    not hoist this framing (4 transposed HBM passes per half-iteration)
+    out of the scan body on its own — precomputing it outside the scan
+    is worth ~25% of the whole 8-iteration decode."""
+    B, N = lp.shape
+    n_w = N // W
+    T = W + U
+    gp = 0.5 * lp
+    gpf = jnp.moveaxis(_t._frame_fwd(gp, W, U), -1, 0).reshape(T, B * n_w)
+    gpb = jnp.moveaxis(_t._frame_bwd(gp, W, U, _t.BIG), -1, 0
+                       ).reshape(T, B * n_w)
+    L0 = B * n_w
+    n_tiles = -(-L0 // LANES)
+    pad = n_tiles * LANES - L0
+    if pad:
+        gpf = jnp.pad(gpf, ((0, 0), (0, pad)))
+        gpb = jnp.pad(gpb, ((0, 0), (0, pad)), constant_values=_t.BIG)
+    return gpf, gpb
+
+
+def half_iteration_pallas_prepped(lin, gpf, gpb, W: int, U: int,
+                                  interpret: bool = False):
+    """Half-iteration with pre-framed parity (prep_parity)."""
     B, N = lin.shape
     n_w = N // W
     T = W + U
     gu = 0.5 * lin
-    gp = 0.5 * lp
     guf = jnp.moveaxis(_t._frame_fwd(gu, W, U), -1, 0).reshape(T, B * n_w)
-    gpf = jnp.moveaxis(_t._frame_fwd(gp, W, U), -1, 0).reshape(T, B * n_w)
     gub = jnp.moveaxis(_t._frame_bwd(gu, W, U, _t.BIG), -1, 0
-                       ).reshape(T, B * n_w)
-    gpb = jnp.moveaxis(_t._frame_bwd(gp, W, U, _t.BIG), -1, 0
                        ).reshape(T, B * n_w)
     win0 = jnp.asarray(
         np.tile((np.arange(n_w) == 0), B).astype(np.float32))[None, :]
@@ -170,10 +190,13 @@ def half_iteration_pallas(lin, lp, W: int, U: int, interpret: bool = False):
     pad = n_tiles * LANES - L0
     if pad:
         guf = jnp.pad(guf, ((0, 0), (0, pad)))
-        gpf = jnp.pad(gpf, ((0, 0), (0, pad)))
         gub = jnp.pad(gub, ((0, 0), (0, pad)), constant_values=_t.BIG)
-        gpb = jnp.pad(gpb, ((0, 0), (0, pad)), constant_values=_t.BIG)
         win0 = jnp.pad(win0, ((0, 0), (0, pad)))
     out = _build_call(T, W, U, n_tiles, interpret)(guf, gpf, gub, gpb, win0)
     out = out[:, :L0].reshape(W, B, n_w)
     return jnp.moveaxis(out, 0, 2).reshape(B, N)
+
+
+def half_iteration_pallas(lin, lp, W: int, U: int, interpret: bool = False):
+    gpf, gpb = prep_parity(lp, W, U)
+    return half_iteration_pallas_prepped(lin, gpf, gpb, W, U, interpret)

@@ -35,7 +35,7 @@ class DlschConfig:
     rv: int = 0
     n_turbo_iter: int = 8
     decoder_window: int = 96
-    decoder_warmup: int = 32
+    decoder_warmup: int = 24
     nports: int = 1            # TX antenna ports (2 => SFBC, 8 RE/RB pilots)
     g_override: int | None = None   # custom RE budget (PMCH/MBSFN region)
 

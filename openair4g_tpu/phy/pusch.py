@@ -42,7 +42,7 @@ class UlschConfig:
     rv: int = 0
     n_turbo_iter: int = 8
     decoder_window: int = 96
-    decoder_warmup: int = 32
+    decoder_warmup: int = 24
     g_override: int | None = None   # set when UCI steals REs (ops/uci.py)
 
     @property

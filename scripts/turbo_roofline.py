@@ -84,7 +84,8 @@ def main():
     lin = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
     lp = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
     half = jax.jit(
-        lambda a, b: jnp.sum(turbo._half_iteration_dispatch(a, b, 96, 32)))
+        lambda a, b: jnp.sum(turbo._half_iteration_dispatch(
+            a, turbo._parity_prep_dispatch(b, 96, 32), 96, 32)))
     out["half_iteration_ms"] = timed(half, lin, lp) * 1e3
     halfx = jax.jit(
         lambda a, b: jnp.sum(turbo._half_iteration(a, b, 96, 32)))
