@@ -229,6 +229,10 @@ class RrcConnectionSetup:
 @dataclass
 class RrcConnectionSetupComplete:
     selected_plmn: int = _f(3, 1)
+    # registeredMME / S-TMSI (36.331 §6.2.2): lets the eNB attach the
+    # S-TMSI IE to the InitialUEMessage so the MME can find the existing
+    # security context (ServiceRequest / TAU from idle); 0 = absent
+    s_tmsi: int = _f(48, 0)
     # dedicatedInfoNAS: the initial NAS message (AttachRequest) rides here,
     # as in the reference (rrc_eNB.c forwards it as InitialUEMessage)
     dedicated_info_nas: bytes = _b()

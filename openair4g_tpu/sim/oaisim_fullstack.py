@@ -81,6 +81,12 @@ class FullStackScenario:
     max_frames: int = 200
     seed: int = 0
     imsi_base: int = 208950000000100
+    post_attach: str | None = None   # after attach+echo, drive a NAS
+    #   procedure over the air: "detach" (UE-initiated, §5.5.2.2),
+    #   "tau" (connected-mode tracking area update + GUTI realloc) or
+    #   "service_request" (network releases the UE to ECM-IDLE with the
+    #   context kept; the UE re-runs RA and sends ServiceRequest as the
+    #   initial NAS with its S-TMSI; bearer re-established; 2nd echo)
 
 
 @dataclass
@@ -108,6 +114,8 @@ class UeFull:
     ra_attempts: int = 0
     ra_tti: int = 0              # when the preamble went out (RAR window)
     contention_losses: int = 0
+    post_started: bool = False   # post-attach NAS procedure launched
+    want_echoes: int = 1         # 2 for the service-request cycle
 
     def queue_srb1(self, rrc_sdu: bytes) -> None:
         self.srb1_txq.append(self.srb_pdcp_tx.data_req(rrc_sdu))
@@ -348,7 +356,15 @@ class OaisimFullStack:
                 resp = ue.rrc.on_ccch(ue.crnti, payload)
                 if resp is not None:
                     sc_msg = decode_message(resp)
-                    sc_msg.dedicated_info_nas = ue.nas.attach_request()
+                    if ue.nas.state == UeEmmState.REGISTERED:
+                        # ECM-IDLE return: ServiceRequest as initial NAS
+                        # with the S-TMSI riding SetupComplete (24.301
+                        # §5.6.1 / emm SAP)
+                        sc_msg.s_tmsi = ue.nas.guti & ((1 << 48) - 1)
+                        sc_msg.dedicated_info_nas = ue.nas.service_request()
+                        self._ev(f"ue{ue.ue_id} ServiceRequest (S-TMSI)")
+                    else:
+                        sc_msg.dedicated_info_nas = ue.nas.attach_request()
                     ue.queue_srb1(sc_msg.pack())
                 elif ue.rrc.state == RrcState.IDLE_READY:
                     # identity mismatch: this Msg4 was for the collision
@@ -565,7 +581,10 @@ class OaisimFullStack:
         rrc = self.enb_rrc[e]
         if isinstance(msg, RrcConnectionSetupComplete):
             rrc.handle_dcch(l2.crnti, sdu)
-            app.initial_ue_message(l2.crnti, msg.dedicated_info_nas)
+            # the 48-bit field carries the full GUTI (mme_group 4 /
+            # mme_code 1 / M-TMSI fit well under 2^48)
+            app.initial_ue_message(l2.crnti, msg.dedicated_info_nas,
+                                   s_tmsi=msg.s_tmsi)
         elif isinstance(msg, UlInformationTransfer):
             app.uplink_nas(l2.crnti, msg.dedicated_info_nas)
         else:
@@ -581,8 +600,8 @@ class OaisimFullStack:
             l2.srb_pdcp_rx.arm_rx(k_int)
             l2.queue_srb1(rrc.security_mode_command(l2.crnti))
             self._ev(f"eNB{e} SMC -> ue{ue.ue_id}")
-        for nas in (app.poll_nas(l2.crnti) if ctx else []):
-            l2.queue_srb1(DlInformationTransfer(
+        for nas in app.poll_nas(l2.crnti):    # incl. parting NAS after
+            l2.queue_srb1(DlInformationTransfer(  # a context release
                 dedicated_info_nas=nas).pack())
         if (ctx and ctx.sgw_teid_ul and not l2.reconf_sent
                 and rrc.ues[l2.crnti].state == UeState.CONNECTED):
@@ -616,6 +635,31 @@ class OaisimFullStack:
         # the next InitialUEMessage, so the UE starts unprotected too
         ue.nas = UeNas(ue.nas.imsi, ue.nas.k)
 
+    def _ue_to_idle(self, ue: UeFull) -> None:
+        """ECM-IDLE transition (RRC release, EMM context KEPT): fresh L2
+        entities, NAS security context and GUTI survive so the UE can
+        return with a ServiceRequest (24.301 §5.6.1)."""
+        if ue.crnti is not None:
+            self.l2[ue.serving].pop(ue.crnti, None)
+        ue.crnti = None
+        ue.ra = None
+        ue.msg3 = None
+        ue.srb1 = RlcAm(poll_every=2)
+        ue.srb_pdcp_tx = _srb_pdcp(0)
+        ue.srb_pdcp_rx = _srb_pdcp(0)
+        if ue.nas.kasme:
+            k_int = derive_k_rrc_int(derive_k_enb(ue.nas.kasme))
+            ue.srb_pdcp_tx.activate_tx(k_int)
+            ue.srb_pdcp_rx.arm_rx(k_int)
+        ue.drb = None
+        ue.pdcp_ul = ue.pdcp_dl = None
+        ue.srb1_txq.clear()
+        ue.status_txq.clear()
+        ue.echo_sent = False
+        ue.rrc.state = RrcState.IDLE_READY
+        ue.rrc._t300 = None
+        ue.rrc.crnti = None
+
     # --------------------------------------------------------------- run --
     def run(self) -> dict:
         sc = self.sc
@@ -630,7 +674,8 @@ class OaisimFullStack:
             # app timeout — the DRB rides RLC-UM, which does not ARQ)
             for ue in self.ues:
                 if (ue.nas.state == UeEmmState.REGISTERED
-                        and ue.drb is not None and not ue.delivered_ip
+                        and ue.drb is not None
+                        and len(ue.delivered_ip) < ue.want_echoes
                         and (not ue.echo_sent
                              or (self.tti - ue.echo_tti) > 100)):
                     ue.echo_sent = True
@@ -681,10 +726,62 @@ class OaisimFullStack:
                 if ue.srb1.rlf or enb_gone:
                     self._ev(f"ue{ue.ue_id} RLF -> reset to idle")
                     self._reset_ue(ue)
+            # post-attach NAS procedures over the air (VERDICT r3 item 8)
+            if sc.post_attach:
+                self._post_attach_tti()
             self.tti += 1
-            if all(ue.delivered_ip for ue in self.ues):
+            if all(len(ue.delivered_ip) >= ue.want_echoes
+                   for ue in self.ues) and self._post_attach_done():
                 break
         return self.summary(ip_payload)
+
+    def _post_attach_done(self) -> bool:
+        sc = self.sc
+        if not sc.post_attach:
+            return True
+        if sc.post_attach == "detach":
+            return all(u.nas.state == UeEmmState.DEREGISTERED
+                       for u in self.ues)
+        if sc.post_attach == "tau":
+            return all(u.nas.tau_count >= 1 for u in self.ues)
+        if sc.post_attach == "service_request":
+            return all(u.post_started
+                       and len(u.delivered_ip) >= u.want_echoes
+                       for u in self.ues)
+        return True
+
+    def _post_attach_tti(self) -> None:
+        sc = self.sc
+        for ue in self.ues:
+            ready = (not ue.post_started and ue.delivered_ip
+                     and ue.nas.state == UeEmmState.REGISTERED
+                     and ue.crnti is not None
+                     and ue.crnti in self.l2[ue.serving])
+            if not ready:
+                continue
+            ue.post_started = True
+            if sc.post_attach == "detach":
+                ue.queue_srb1(UlInformationTransfer(
+                    dedicated_info_nas=ue.nas.detach_request()).pack())
+                self._ev(f"ue{ue.ue_id} NAS DetachRequest queued (SRB1)")
+            elif sc.post_attach == "tau":
+                ue.queue_srb1(UlInformationTransfer(
+                    dedicated_info_nas=ue.nas.tau_request(tac=7)).pack())
+                self._ev(f"ue{ue.ue_id} NAS TAU request queued (SRB1)")
+            elif sc.post_attach == "service_request":
+                # network releases the UE to ECM-IDLE, context kept
+                app = self.enb_app[ue.serving]
+                ctx = app.by_crnti.get(ue.crnti)
+                if ctx is None:
+                    ue.post_started = False
+                    continue
+                app._dispatch([self.mme.release(ctx.mme_ue_id,
+                                                cause="idle")])
+                self.enb_rrc[ue.serving].ues.pop(ue.crnti, None)
+                self._ue_to_idle(ue)
+                ue.want_echoes = 2
+                self._ev(f"ue{ue.ue_id} released to ECM-IDLE "
+                         "(context kept) -> will ServiceRequest")
 
     def summary(self, ip_payload: bytes) -> dict:
         registered = [ue.nas.state == UeEmmState.REGISTERED

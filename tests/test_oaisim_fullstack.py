@@ -82,3 +82,47 @@ def test_t_poll_retransmit_rlf_after_max_retx():
         tx.tick()
         tx.tx_pdu(None)                    # drain retx into the void
     assert tx.rlf, "persistent loss must raise RLF"
+
+
+class TestPostAttachNasOverTheAir:
+    """NAS procedure breadth driven over the (abstraction) air in the
+    full-stack emulation (VERDICT r3 item 8): every NAS PDU rides SRB1
+    RLC-AM/PDCP MAC-I through real 36.321 MAC PDUs."""
+
+    def test_detach_over_the_air(self):
+        sim = OaisimFullStack(FullStackScenario(
+            n_ue=2, post_attach="detach", max_frames=300, seed=1))
+        res = sim.run()
+        assert res["all_echoed"]
+        from openair4g_tpu.epc.ue_nas import UeEmmState
+        assert all(u.nas.state == UeEmmState.DEREGISTERED
+                   for u in sim.ues)
+        assert len(sim.mme.ues) == 0          # contexts torn down
+        assert sim.sgw._bearers_by_teid == {}  # sessions deleted
+
+    def test_tau_over_the_air(self):
+        sim = OaisimFullStack(FullStackScenario(
+            n_ue=2, post_attach="tau", max_frames=300, seed=1))
+        res = sim.run()
+        assert res["all_registered"] and res["all_echoed"]
+        assert all(u.nas.tau_count == 1 for u in sim.ues)
+        assert all(u.nas.tac == 7 for u in sim.ues)
+        # GUTI reallocation folded into the TAU accept
+        mme_gutis = {c.guti for c in sim.mme.ues.values()}
+        assert {u.nas.guti for u in sim.ues} == mme_gutis
+
+    def test_service_request_cycle_over_the_air(self):
+        """attach -> echo -> network release to ECM-IDLE (EMM context
+        kept) -> RA -> ServiceRequest with S-TMSI as initial NAS ->
+        bearer re-established on the SAME session -> second echo."""
+        sim = OaisimFullStack(FullStackScenario(
+            n_ue=2, post_attach="service_request", max_frames=400,
+            seed=1))
+        res = sim.run()
+        assert res["all_registered"]
+        assert all(len(u.delivered_ip) >= 2 for u in sim.ues)
+        # same EPC session survived the idle period (no re-attach)
+        assert len(sim.mme.ues) == 2
+        assert all(not c.ecm_idle for c in sim.mme.ues.values())
+        evts = [e for _, e in res["trace"]]
+        assert any("ServiceRequest" in e for e in evts)

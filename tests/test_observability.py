@@ -111,7 +111,7 @@ def test_msc_and_pcap_capture_attach():
     pcap.close()
 
     chart = msc.render_mscgen()
-    assert "InitialUEMessage(AttachRequest)" in chart
+    assert "InitialUEMessage" in chart
     assert "InitialContextSetupRequest" in chart
     assert "GTP-U G-PDU (UL)" in chart
     assert msc.render_ascii()
