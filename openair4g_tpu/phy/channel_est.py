@@ -250,3 +250,40 @@ def pdp_prior(fp: FrameParms, delays_us, amps, delay_scale: float = 1.0,
         elif i < L:
             P[i] += p
     return P / P.sum()
+
+
+def measure_delay_prior(rgrid, gm: GridMap, n0: float,
+                        port: int = 0, floor: float = 1e-4) -> np.ndarray:
+    """ADAPTIVE delay-power prior measured from received pilots — no
+    genie knowledge: per pilot symbol, least-squares estimates at the
+    comb are projected onto the cp+2 delay taps (regularized pinv of the
+    comb's Fourier matrix), tap powers averaged over the batch and pilot
+    symbols, the estimation noise floor subtracted, and the result
+    floored + normalized. Feeding this into make_wiener_joint(...,
+    prior=...) is the practical receiver's version of the matched-PDP
+    bound (VALIDATION §2): a delay-spread estimator, as real baseband
+    chips run ahead of their Wiener interpolators.
+    """
+    fp = gm.fp
+    pilot_sym, pilot_sc, pilot_bin, pilot_val = _port_pilot_arrays(gm, port)
+    n_ps = pilot_sym.shape[0]
+    L = fp.cp + 2
+    taps = np.arange(L)
+    p_tap = np.zeros(L)
+    noise_gain = np.zeros(L)
+    rg = np.asarray(rgrid)      # callers pass a HOST array (the axon
+    #                             tunnel cannot transfer complex buffers)
+    for s in range(n_ps):
+        f_idx = _signed_freq_idx(fp, pilot_sc[s])[:, None]
+        F = np.exp(-2j * np.pi * f_idx * taps[None, :] / fp.n_fft)
+        # regularized LS projection comb -> delay taps
+        A = F.conj().T @ F + n0 * len(pilot_sc[s]) * np.eye(L)
+        P = np.linalg.solve(A, F.conj().T)          # [L, Np]
+        y = rg[:, int(pilot_sym[s, 0])][:, pilot_bin[s]]
+        ls = y * np.conj(pilot_val[s])[None, :]     # [B, Np]
+        g = ls @ P.T                                # [B, L]
+        p_tap += np.mean(np.abs(g) ** 2, axis=0)
+        noise_gain += n0 * np.sum(np.abs(P) ** 2, axis=1)
+    p_tap = np.maximum(p_tap - noise_gain, 0.0) / n_ps
+    p_tap = np.maximum(p_tap, floor * p_tap.max() + 1e-12)
+    return p_tap / p_tap.sum()

@@ -169,8 +169,11 @@ class DlsimFadingConfig:
     #   "dlsim" (reference dlsim.c:2852 grid-average convention; see
     #   dlsim_snr_offset_db) — use "dlsim" when comparing to the corpus.
     est_prior: str = "exp"        # joint-estimator delay prior: "exp"
-    #   (generic CP/8 decay) or "pdp" (matched to this channel model's
-    #   actual scaled PDP — the genie-prior ablation bound)
+    #   (generic CP/8 decay), "pdp" (matched to this channel model's
+    #   actual scaled PDP — the genie-prior ablation bound) or
+    #   "adaptive" (MEASURED from received pilots by a one-batch probe,
+    #   channel_est.measure_delay_prior — no genie knowledge; the
+    #   delay-spread estimation real receivers run)
     use_est_err_var: bool = True  # feed the estimator's posterior error
     #   variance into the LLR noise term (ablation knob)
     n_pdcch_symbols: int = 1
@@ -217,6 +220,8 @@ class DlsimFading:
         self._rounds = {}
 
     def _prior(self):
+        if self.cfg.est_prior == "adaptive":
+            return self._adaptive_prior
         if self.cfg.est_prior != "pdp":
             return None
         from ..phy.channel_est import pdp_prior
@@ -225,6 +230,40 @@ class DlsimFading:
         return pdp_prior(self.fp, delays_us,
                          10.0 ** (0.1 * np.asarray(amps_db)),
                          self.cfg.delay_scale)
+
+    def _measure_prior(self, snr_db: float, n_probe: int = 64,
+                      seed: int = 9090) -> np.ndarray:
+        """One probe batch: pilots through a fresh channel draw + AWGN,
+        then channel_est.measure_delay_prior on the received grid (the
+        receiver-side delay-spread estimation; uses no channel-model
+        knowledge)."""
+        from ..phy.channel_est import measure_delay_prior
+        cfg = self.cfg
+        n0 = 10.0 ** (-snr_db / 10.0)
+        probe_chan = ChannelModel(name=cfg.channel, fp=self.fp, n_rx=1,
+                                  delay_scale=cfg.delay_scale)
+
+        @jax.jit
+        def probe(keys):
+            splits = jax.vmap(jax.random.split)(keys)
+            sym = jnp.zeros((n_probe, len(self.gm.data_sc)), jnp.complex64)
+            grid = fill_grid(sym, self.gm)          # pilots only
+            taps = probe_chan.draw_taps(splits[:, 0], n_probe)
+            H = probe_chan.freq_response(taps)
+            grid = apply_channel_grid(grid, H, self.fp)
+            t = ofdm.ofdm_modulate(grid, self.fp)
+            nr = jax.vmap(lambda k: jax.random.normal(
+                k, t.shape[1:] + (2,)))(splits[:, 1])
+            rx = t + jnp.sqrt(jnp.float32(n0) / 2) \
+                * (nr[..., 0] + 1j * nr[..., 1])
+            rgrid = ofdm.ofdm_demodulate(rx, self.fp)
+            # packed floats: complex buffers cannot cross the axon tunnel
+            return jnp.stack([jnp.real(rgrid), jnp.imag(rgrid)], axis=-1)
+
+        pk = np.asarray(probe(jnp.asarray(host_keys(seed, n_probe,
+                                                    stream=777))))
+        rgrid = pk[..., 0] + 1j * pk[..., 1]
+        return measure_delay_prior(rgrid, self.gm, n0)
 
     def wiener(self, snr_db: float):
         n0 = 10.0 ** (-snr_db / 10.0)
@@ -365,6 +404,9 @@ class DlsimFading:
         """Returns per-round (errs [R], trials [R]) accumulated."""
         if self.cfg.snr_convention == "dlsim":
             snr_db = snr_db + dlsim_snr_offset_db(self.gm)
+        if self.cfg.est_prior == "adaptive" and \
+                getattr(self, "_adaptive_prior", None) is None:
+            self._adaptive_prior = self._measure_prior(snr_db)
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
         W = self.wiener(snr_db)
         ev = self.err_var(snr_db)

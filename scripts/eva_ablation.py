@@ -40,6 +40,11 @@ CASES = [
     # E2: genie delay prior (estimator matched to the compressed PDP)
     ("test6_ref_pdp", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
      dict(est_prior="pdp")),
+    # E2b: MEASURED prior (receiver-side delay-spread estimation)
+    ("test6_ref_adaptive", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
+     dict(est_prior="adaptive")),
+    ("test10_ref_adaptive", 25, 25, 3, "EVA", 13.8, REF_SCALE, False,
+     None, dict(est_prior="adaptive")),
     # E3: per-pilot-symbol interp estimator (the reference's mode analog)
     ("test6_ref_interp", 15, 50, 2, "EVA", 4.6, REF_SCALE, False, None,
      dict(est_mode="interp")),
