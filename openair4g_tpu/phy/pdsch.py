@@ -138,12 +138,15 @@ class DlschCodec:
         return out
 
     # ------------------------------------------------------------------ RX --
-    def decode(self, e_llr, w_soft=None, rv: int | None = None):
+    def decode(self, e_llr, w_soft=None, rv: int | None = None,
+               dynamic_stop: bool = True):
         """e_llr [B, G] -> (tb_bits [B, TBS], tb_ok [B], w_soft list).
 
         `w_soft`: per-block soft buffers from a previous HARQ round (or None);
         the returned list feeds the next round (reference harq_process->w).
         `rv` must match the transmitter's redundancy version for this round.
+        `dynamic_stop=False` forces all n_iter iterations (kernel
+        benchmarking; outputs are identical either way).
         """
         cfg, seg = self.cfg, self.seg
         maps = self.maps_by_rv[cfg.rv if rv is None else rv]
@@ -171,7 +174,8 @@ class DlschCodec:
             kind = "crc24b" if seg.C > 1 else "crc24a"
             dcfg = turbo.TurboDecoderConfig(
                 K=K, F=F, n_iter=cfg.n_turbo_iter, window=cfg.decoder_window,
-                warmup=cfg.decoder_warmup, crc_kind=kind)
+                warmup=cfg.decoder_warmup, crc_kind=kind,
+                dynamic_stop=dynamic_stop)
             bits, ok = turbo.turbo_decode(stacked, dcfg)
             for i, r in enumerate(rs):
                 results[r] = (bits[i * B:(i + 1) * B], ok[i * B:(i + 1) * B])
