@@ -109,3 +109,25 @@ def test_pallas_closed_form_trellis_matches_tables():
         ref = [(int(t.PRED_S[sp, j]), int(t.PRED_U[sp, j]),
                 int(t.PRED_Z[sp, j])) for j in (0, 1)]
         assert sorted(mine) == sorted(ref), sp
+
+
+def test_dynamic_stop_output_identical():
+    """The while-loop early exit (dynamic_stop) must be output-identical
+    to the fixed 8-iteration scan on a mixed pass/fail batch."""
+    import numpy as np
+    import jax.numpy as jnp
+    from openair4g_tpu.ops.turbo import (TurboDecoderConfig, turbo_decode,
+                                         turbo_encode_host)
+    from openair4g_tpu.ops.crc import attach_crc_host
+    K = 512
+    rng = np.random.default_rng(3)
+    tbs = np.stack([attach_crc_host(rng.integers(0, 2, K - 24), "crc24a")
+                    for _ in range(16)])
+    d = np.stack([turbo_encode_host(t) for t in tbs])
+    llr = jnp.asarray((1 - 2 * d) * 2.0 + rng.normal(size=d.shape) * 2.3,
+                      jnp.float32)
+    bd, okd = turbo_decode(llr, TurboDecoderConfig(K=K, dynamic_stop=True))
+    bs, oks = turbo_decode(llr, TurboDecoderConfig(K=K, dynamic_stop=False))
+    assert 0 < int(okd.sum()) < 16, "want a mixed batch"
+    assert bool(jnp.array_equal(okd, oks))
+    assert bool(jnp.array_equal(bd, bs))
