@@ -132,17 +132,21 @@ def dlsim_snr_offset_db(gm) -> float:
 
     dlsim.c:2852 sets sigma2 from the subframe's *average* TX energy spread
     over every grid RE: sigma2 = mean_grid_energy_per_RE / SNR. Because the
-    control region is mostly empty (the corpus configs transmit exactly one
-    2-CCE DCI = 72 QPSK REs + PCFICH 16 REs, generate_dci_top dci.c:2084-2096
-    leaves NIL CCEs at zero power) while PDSCH symbols are full, the
-    effective per-data-RE Es/N0 exceeds the nominal SNR by
+    control region is mostly empty (dlsim transmits exactly ONE
+    UE-specific DCI at aggregation L=1 = 36 QPSK REs — dlsim.c:1155, the
+    common DCI is commented out at :1028-1036 — plus PCFICH 16 REs, no
+    PHICH; generate_dci_top leaves NIL CCEs at zero power) while PDSCH
+    symbols are full, the effective per-data-RE Es/N0 exceeds the
+    nominal SNR by
         delta = 10*log10(N_grid / N_filled).
     Our native convention ("per_re") defines SNR directly per data RE; use
     snr_convention="dlsim" to compare against reference corpus numbers.
+    (Round-4 correction: 72 -> 36 control REs after reading the dlsim DCI
+    setup — worth 0.02 dB, below the campaigns' reporting precision.)
     """
     n_grid = gm.fp.symbols_per_subframe * gm.fp.n_sc
     n_rs = 8 * gm.fp.n_rb                    # 4 pilot syms x 2 RS/RB (port 0)
-    n_filled = gm.n_data_re + n_rs + 72 + 16
+    n_filled = gm.n_data_re + n_rs + 36 + 16
     return float(10.0 * np.log10(n_grid / n_filled))
 
 
@@ -168,12 +172,13 @@ class DlsimFadingConfig:
     snr_convention: str = "per_re"  # "per_re" (Es/N0 per data RE) or
     #   "dlsim" (reference dlsim.c:2852 grid-average convention; see
     #   dlsim_snr_offset_db) — use "dlsim" when comparing to the corpus.
-    est_prior: str = "exp"        # joint-estimator delay prior: "exp"
-    #   (generic CP/8 decay), "pdp" (matched to this channel model's
-    #   actual scaled PDP — the genie-prior ablation bound) or
-    #   "adaptive" (MEASURED from received pilots by a one-batch probe,
-    #   channel_est.measure_delay_prior — no genie knowledge; the
-    #   delay-spread estimation real receivers run)
+    est_prior: str = "adaptive"   # joint-estimator delay prior:
+    #   "adaptive" (default, r4: MEASURED from received pilots by a
+    #   one-batch probe, channel_est.measure_delay_prior — no genie
+    #   knowledge; the delay-spread estimation real receivers run;
+    #   worth ~0.1 dB on EVA vs the generic prior), "exp" (generic CP/8
+    #   decay) or "pdp" (matched to the channel model's actual scaled
+    #   PDP — the genie bound). Only est_mode="joint" consumes it.
     use_est_err_var: bool = True  # feed the estimator's posterior error
     #   variance into the LLR noise term (ablation knob)
     n_pdcch_symbols: int = 1
