@@ -133,17 +133,44 @@ def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
                    pilot_port=pilot_port, nports=nports)
 
 
+_FILL_IDX_CACHE: dict = {}
+
+
+def _fill_gather_idx(gm: GridMap, with_pilots: bool) -> np.ndarray:
+    """[nsym*n_fft] source indices into concat([data, pilots, zero]):
+    grid construction as ONE static gather instead of two scatters (TPU
+    scatters lower poorly; the take is ~25% cheaper on the 100-PRB
+    chain). GridMap instances are lru-cached singletons, so id() keys
+    are stable."""
+    key = (id(gm), with_pilots)
+    if key not in _FILL_IDX_CACHE:
+        fp = gm.fp
+        nd, npi = gm.n_data_re, len(gm.pilot_sym)
+        idx = np.full(fp.symbols_per_subframe * fp.n_fft,
+                      nd + (npi if with_pilots else 0), np.int32)
+        idx[gm.data_sym.astype(np.int64) * fp.n_fft + gm.data_bin] = \
+            np.arange(nd)
+        if with_pilots:
+            idx[gm.pilot_sym.astype(np.int64) * fp.n_fft + gm.pilot_bin] = \
+                nd + np.arange(npi)
+        _FILL_IDX_CACHE[key] = idx
+    return _FILL_IDX_CACHE[key]
+
+
 def fill_grid(symbols, gm: GridMap, with_pilots: bool = True):
     """symbols [B, n_data_re] complex -> grid [B, nsym, n_fft] complex."""
     import jax.numpy as jnp
     B = symbols.shape[0]
     fp = gm.fp
-    grid = jnp.zeros((B, fp.symbols_per_subframe, fp.n_fft), symbols.dtype)
-    grid = grid.at[:, jnp.asarray(gm.data_sym), jnp.asarray(gm.data_bin)].set(symbols)
+    idx = _fill_gather_idx(gm, with_pilots)
+    parts = [symbols]
     if with_pilots:
         pv = jnp.asarray(gm.pilot_val.astype(np.complex64))
-        grid = grid.at[:, jnp.asarray(gm.pilot_sym), jnp.asarray(gm.pilot_bin)].set(pv)
-    return grid
+        parts.append(jnp.broadcast_to(pv, (B, len(gm.pilot_sym))))
+    parts.append(jnp.zeros((B, 1), symbols.dtype))
+    src = jnp.concatenate(parts, axis=1)
+    return jnp.take(src, jnp.asarray(idx), axis=1).reshape(
+        B, fp.symbols_per_subframe, fp.n_fft)
 
 
 def fill_grid_port(symbols, gm: GridMap, port: int):
