@@ -270,9 +270,15 @@ class DlsimFading:
         rgrid = pk[..., 0] + 1j * pk[..., 1]
         return measure_delay_prior(rgrid, self.gm, n0)
 
+    def _ensure_prior(self, snr_db: float) -> None:
+        if self.cfg.est_prior == "adaptive" and \
+                getattr(self, "_adaptive_prior", None) is None:
+            self._adaptive_prior = self._measure_prior(snr_db)
+
     def wiener(self, snr_db: float):
         n0 = 10.0 ** (-snr_db / 10.0)
         if self.cfg.est_mode == "joint":
+            self._ensure_prior(snr_db)
             return jnp.asarray(make_wiener_joint(self.gm, n0,
                                                  prior=self._prior()))
         return jnp.asarray(make_wiener_stack(self.gm, n0))
@@ -283,6 +289,7 @@ class DlsimFading:
         if self.cfg.perfect_ce or self.cfg.est_mode != "joint" \
                 or not self.cfg.use_est_err_var:
             return jnp.zeros(len(self.gm.data_sc), jnp.float32)
+        self._ensure_prior(snr_db)
         ev = joint_err_var(self.gm, 10.0 ** (-snr_db / 10.0),
                            prior=self._prior())
         return jnp.asarray(ev[self.gm.data_sc])
@@ -409,9 +416,6 @@ class DlsimFading:
         """Returns per-round (errs [R], trials [R]) accumulated."""
         if self.cfg.snr_convention == "dlsim":
             snr_db = snr_db + dlsim_snr_offset_db(self.gm)
-        if self.cfg.est_prior == "adaptive" and \
-                getattr(self, "_adaptive_prior", None) is None:
-            self._adaptive_prior = self._measure_prior(snr_db)
         n0 = jnp.float32(10.0 ** (-snr_db / 10.0))
         W = self.wiener(snr_db)
         ev = self.err_var(snr_db)
