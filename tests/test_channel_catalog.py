@@ -87,8 +87,10 @@ def test_evolve_taps_correlation():
 
 def test_dlsim_snr_offset_matches_hand_count():
     gm = make_grid_map(6, 3)
-    # 6 PRB c3: grid 14*72=1008, data + 48 RS + 88 control
-    want = 10 * np.log10(1008 / (gm.n_data_re + 48 + 88))
+    # 6 PRB c3: grid 14*72=1008, data + 48 RS + 52 control (r4: the
+    # reference dlsim transmits ONE L=1 DCI = 36 REs + PCFICH 16,
+    # dlsim.c:1155; the common DCI is commented out)
+    want = 10 * np.log10(1008 / (gm.n_data_re + 48 + 52))
     assert abs(dlsim_snr_offset_db(gm) - want) < 1e-9
 
 
