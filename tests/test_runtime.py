@@ -167,3 +167,79 @@ class TestSoftModem:
         # PSS present in subframes 0 and 5 only
         assert res[0] > 3 * res[1], res
         assert res[5] > 3 * res[1], res
+
+
+class TestFronthaul:
+    """openair0-analog timestamped IQ device (runtime/fronthaul.py):
+    trx_read/trx_write semantics with sample-clock timestamps, TX-lead
+    deadline accounting and the RRH-split loopback over the native ring
+    (lte-softmodem.c:148-242, targets/ARCH/ETHERNET)."""
+
+    def test_timestamped_roundtrip(self):
+        import numpy as np
+        from openair4g_tpu.runtime.fronthaul import RrhLoopback
+        dev = RrhLoopback()
+        burst = (np.arange(64) + 1j).astype(np.complex64)
+        assert dev.write(100, burst)            # scheduled ahead of clock
+        ts, rx = dev.read(256)
+        assert ts == 0
+        assert np.allclose(rx[100:164], burst)
+        assert np.abs(rx[:100]).max() == 0      # idle carrier before it
+
+    def test_late_tx_dropped_and_counted(self):
+        import numpy as np
+        from openair4g_tpu.runtime.fronthaul import RrhLoopback
+        dev = RrhLoopback()
+        dev.read(1000)                          # clock = 1000
+        assert not dev.write(500, np.ones(16, np.complex64))   # in the past
+        assert dev.stats.tx_late == 1
+        assert dev.write(1500, np.ones(16, np.complex64))
+        assert dev.stats.tx_lead_min == -500    # tightest (late) margin kept
+
+    def test_block_straddles_read_boundary(self):
+        import numpy as np
+        from openair4g_tpu.runtime.fronthaul import RrhLoopback
+        dev = RrhLoopback()
+        burst = np.full(100, 2 + 0j, np.complex64)
+        dev.write(50, burst)
+        _, a = dev.read(100)                    # samples 0..99: head
+        _, b = dev.read(100)                    # samples 100..199: tail
+        assert np.allclose(a[50:], 2.0) and np.allclose(b[:50], 2.0)
+        assert np.abs(b[50:]).max() == 0
+
+    def test_subframe_tx_rx_through_device_with_channel(self):
+        """A PHY subframe crosses the device: eNB writes the waveform at
+        its TX timestamp, the 'air' hook adds AWGN, the BBU reads it back
+        at the sample clock and demodulates — the openair0 path of the
+        softmodem without RF silicon."""
+        import numpy as np
+        import jax.numpy as jnp
+        from openair4g_tpu.runtime.fronthaul import RrhLoopback
+        from openair4g_tpu.config import FrameParms
+        from openair4g_tpu.phy import ofdm
+        from openair4g_tpu.phy.resource_grid import (make_grid_map,
+                                                     fill_grid,
+                                                     extract_data_res)
+        fp = FrameParms(n_rb=6)
+        gm = make_grid_map(6, 1)
+        rng = np.random.default_rng(1)
+        qpsk = ((1 - 2 * rng.integers(0, 2, gm.n_data_re))
+                + 1j * (1 - 2 * rng.integers(0, 2, gm.n_data_re))
+                ).astype(np.complex64) / np.sqrt(2)
+        grid = fill_grid(jnp.asarray(qpsk[None]), gm)
+        wave = np.asarray(ofdm.ofdm_modulate(grid, fp))[0]
+        n0 = 1e-4
+        dev = RrhLoopback(channel_hook=lambda s: s + (
+            (np.random.default_rng(2).standard_normal(len(s))
+             + 1j * np.random.default_rng(3).standard_normal(len(s)))
+            * np.sqrt(n0 / 2)).astype(np.complex64))
+        sf = fp.samples_per_tti
+        assert dev.write(sf, wave)              # one-subframe TX lead
+        dev.read(sf)                            # idle subframe 0
+        ts, rx = dev.read(sf)
+        assert ts == sf
+        rgrid = ofdm.ofdm_demodulate(jnp.asarray(rx[None]), fp)
+        y = np.asarray(extract_data_res(rgrid, gm))[0]
+        # hard decisions recover the QPSK symbols
+        assert np.mean(np.sign(y.real) == np.sign(qpsk.real)) == 1.0
+        assert np.mean(np.sign(y.imag) == np.sign(qpsk.imag)) == 1.0
