@@ -321,3 +321,72 @@ def apply_channel_bins(grid, H, bins: np.ndarray, n_fft: int):
     mult = jnp.zeros((H.shape[0], n_fft), H.dtype)
     mult = mult.at[:, jnp.asarray(bins)].set(H)
     return grid * mult[:, None, :]
+
+
+# ----------------------------------------------------- time-domain path --
+
+FIR_PRE_RING = 8     # bulk delay giving the sinc placement room for its
+#                      pre-ringing (the reference's NB_SAMPLES_CHANNEL_OFFSET)
+
+
+def _fir_sinc_matrix(cm: "ChannelModel") -> np.ndarray:
+    delays_us, _ = PROFILES[cm.name]
+    fs = cm.fp.n_fft * 15000.0
+    d = np.asarray(delays_us, np.float64) * 1e-6 * cm.delay_scale * fs \
+        + FIR_PRE_RING
+    L_ch = int(np.ceil(d.max())) + FIR_PRE_RING + 1
+    k = np.arange(L_ch)
+    return np.sinc(k[:, None] - d[None, :])         # [L_ch, T]
+
+
+def _fir_from_taps(cm: "ChannelModel", taps):
+    """taps [..., T] -> FIR [..., L_ch]: band-limited (sinc) placement of
+    each tap at its fractional sample delay — the reference's
+    multipath_channel FIR construction (random_channel.c:984-1005,
+    desc->ch[k] = sum_l sinc(k - delays[l]*BW + offset) * a_l); the
+    FIR_PRE_RING bulk delay is its NB_SAMPLES_CHANNEL_OFFSET (room for
+    the sinc pre-ring; a pure in-CP linear phase the estimator absorbs).
+    """
+    S = _fir_sinc_matrix(cm)
+    return jnp.matmul(taps, jnp.asarray(S.T, jnp.complex64),
+                      preferred_element_type=jnp.complex64)
+
+
+def fir_freq_response(cm: "ChannelModel", taps, n_fft: int | None = None):
+    """The truncated FIR's exact response at the occupied subcarriers
+    (incl. the FIR_PRE_RING linear phase) — the genie-CE counterpart of
+    apply_channel_time, and the cross-check for its correctness."""
+    fir = _fir_from_taps(cm, taps)                  # [..., L_ch]
+    fp = cm.fp
+    sc = np.arange(fp.n_sc)
+    half = 6 * fp.n_rb
+    f_idx = np.where(sc < half, sc - half, sc - half + 1)
+    k = np.arange(fir.shape[-1])
+    F = np.exp(-2j * np.pi * f_idx[:, None] * k[None, :] / fp.n_fft)
+    return jnp.matmul(fir, jnp.asarray(F.T, jnp.complex64),
+                      preferred_element_type=jnp.complex64)
+
+
+def apply_channel_time(t, cm: "ChannelModel", taps):
+    """Time-domain FIR convolution of the subframe sample stream — the
+    reference's multipath_channel (multipath_channel.c:152-219) rather
+    than the per-subcarrier multiply (which is exact only while the
+    delay spread fits the cyclic prefix; ETU at 25 PRB exceeds normal CP
+    by ~2 samples, so the reference corpus carries real ISI this path
+    reproduces). Linear (not circular) convolution via FFT with
+    zero-padding; the tail beyond the subframe is dropped, as the
+    reference's next-subframe spill is.
+
+    t [B, S] complex time samples; taps [B, T] (single RX chain) ->
+    [B, S].
+    """
+    if cm.name == "AWGN":
+        return t
+    fir = _fir_from_taps(cm, taps)                  # [B, L_ch]
+    B, S = t.shape
+    L = fir.shape[-1]
+    n = S + L                                       # linear-conv length
+    Tf = jnp.fft.fft(t, n=n, axis=-1)
+    Ff = jnp.fft.fft(fir, n=n, axis=-1)
+    y = jnp.fft.ifft(Tf * Ff, axis=-1)[:, :S]
+    return y.astype(jnp.complex64)

@@ -187,6 +187,12 @@ class DlsimFadingConfig:
     n_id_cell: int = 0
     n_turbo_iter: int = 8
     batch: int = 64
+    time_domain_channel: bool = False   # convolve the SAMPLE STREAM with
+    #   the band-limited tap FIR (the reference's multipath_channel,
+    #   multipath_channel.c:152) instead of the per-subcarrier multiply.
+    #   The two are identical while the delay spread fits the CP; beyond
+    #   it (ETU at 1.4 MHz, CP 9 samples < 9.6-sample spread) only this
+    #   path carries the real inter-symbol interference.
 
 
 class DlsimFading:
@@ -334,12 +340,21 @@ class DlsimFading:
             else:
                 taps = self.chan.draw_taps(k_ch, B)
             taps_rx = taps if A == 1 else taps[:, :, 0, :]  # [B(,A),T]
-            H = self.chan.freq_response(taps_rx)            # [B(,A),n_sc]
-            Hr = H[:, None] if A == 1 else H                # [B,A,n_sc]
-            grid_a = grid if A == 1 else jnp.repeat(grid, A, axis=0)
-            grid_a = apply_channel_grid(grid_a, Hr.reshape(B * A, -1),
-                                        self.fp)
-            t = ofdm.ofdm_modulate(grid_a, self.fp)         # [B*A, S]
+            if cfg.time_domain_channel:
+                from .channels import apply_channel_time, fir_freq_response
+                H = fir_freq_response(self.chan, taps_rx)   # for genie CE
+                Hr = H[:, None] if A == 1 else H
+                grid_a = grid if A == 1 else jnp.repeat(grid, A, axis=0)
+                t = ofdm.ofdm_modulate(grid_a, self.fp)     # clean wave
+                t = apply_channel_time(
+                    t, self.chan, taps_rx.reshape(B * A, -1))
+            else:
+                H = self.chan.freq_response(taps_rx)        # [B(,A),n_sc]
+                Hr = H[:, None] if A == 1 else H            # [B,A,n_sc]
+                grid_a = grid if A == 1 else jnp.repeat(grid, A, axis=0)
+                grid_a = apply_channel_grid(grid_a, Hr.reshape(B * A, -1),
+                                            self.fp)
+                t = ofdm.ofdm_modulate(grid_a, self.fp)     # [B*A, S]
             nr = jax.vmap(lambda k: jax.random.normal(
                 k, (A,) + t.shape[1:] + (2,)))(k_noise)
             noise = (nr[..., 0] + 1j * nr[..., 1]).reshape(B * A, -1)

@@ -131,3 +131,82 @@ def test_harq_doppler_correlated_path_runs():
         n_harq_rounds=2, n_rx=2, harq_doppler_hz=5.0, est_mode="joint"))
     errs, reach = sim.run_snr(-2.0, 64)
     assert reach[0] == 64 and errs[0] >= errs[1]
+
+
+def test_time_domain_channel_matches_fir_response():
+    """apply_channel_time (the reference's multipath_channel FIR path,
+    multipath_channel.c:152) must equal the per-subcarrier multiply by
+    the SAME truncated FIR's frequency response on every symbol after
+    the cold-start transient — conv correctness, independent of
+    truncation artifacts."""
+    import jax.random as jr
+    from openair4g_tpu.sim.channels import (apply_channel_time,
+                                            fir_freq_response)
+    from openair4g_tpu.phy import ofdm
+    from openair4g_tpu.phy.resource_grid import extract_data_res
+    fp = FrameParms(n_rb=50)
+    gm = make_grid_map(50, 1)
+    cm = ChannelModel(name="EVA", fp=fp)
+    rng = np.random.default_rng(0)
+    taps = cm.draw_taps(jr.PRNGKey(0), 4)
+    s = jnp.asarray(rng.standard_normal((4, gm.n_data_re))
+                    + 1j * rng.standard_normal((4, gm.n_data_re)),
+                    jnp.complex64)
+    grid = fill_grid(s, gm)
+    H_fir = fir_freq_response(cm, taps)
+    gf = ofdm.ofdm_demodulate(ofdm.ofdm_modulate(
+        apply_channel_grid(grid, H_fir, fp), fp), fp)
+    gt = ofdm.ofdm_demodulate(
+        apply_channel_time(ofdm.ofdm_modulate(grid, fp), cm, taps), fp)
+    sel = gm.data_sym > 0
+    yf = extract_data_res(gf, gm)[:, sel]
+    yt = extract_data_res(gt, gm)[:, sel]
+    err = float(jnp.max(jnp.abs(yf - yt)) / jnp.max(jnp.abs(yf)))
+    assert err < 0.01, err
+
+
+def test_beyond_cp_isi_only_in_time_path():
+    """ETU at 1.4 MHz: the 5 us delay spread (9.6 samples) exceeds the
+    9-sample normal CP, so the time-domain path carries real ISI the
+    per-subcarrier multiply cannot represent — the paths must differ."""
+    import jax.random as jr
+    from openair4g_tpu.sim.channels import (apply_channel_time,
+                                            fir_freq_response)
+    from openair4g_tpu.phy import ofdm
+    from openair4g_tpu.phy.resource_grid import extract_data_res
+    fp = FrameParms(n_rb=6)
+    gm = make_grid_map(6, 1)
+    cm = ChannelModel(name="ETU", fp=fp)
+    rng = np.random.default_rng(1)
+    taps = cm.draw_taps(jr.PRNGKey(1), 4)
+    s = jnp.asarray(rng.standard_normal((4, gm.n_data_re))
+                    + 1j * rng.standard_normal((4, gm.n_data_re)),
+                    jnp.complex64)
+    grid = fill_grid(s, gm)
+    gf = ofdm.ofdm_demodulate(ofdm.ofdm_modulate(
+        apply_channel_grid(grid, fir_freq_response(cm, taps), fp), fp), fp)
+    gt = ofdm.ofdm_demodulate(
+        apply_channel_time(ofdm.ofdm_modulate(grid, fp), cm, taps), fp)
+    sel = gm.data_sym > 0
+    yf = extract_data_res(gf, gm)[:, sel]
+    yt = extract_data_res(gt, gm)[:, sel]
+    d = float(jnp.max(jnp.abs(yt - yf)) / jnp.max(jnp.abs(yf)))
+    assert d > 0.01, d
+
+
+def test_dlsim_time_domain_channel_decodes():
+    """End-to-end dlsim with the sample-stream FIR channel (estimated
+    CE): in-CP EVA decodes like the freq path; beyond-CP ETU@1.4MHz
+    runs through the real-ISI air."""
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=10, n_rb=25, channel="EVA", n_pdcch_symbols=3, n_rx=2,
+        n_harq_rounds=1, batch=64, est_mode="joint",
+        time_domain_channel=True))
+    errs, reach = sim.run_snr(8.0, 64)
+    assert errs[0] <= reach[0] * 0.1, (errs, reach)
+    sim = DlsimFading(DlsimFadingConfig(
+        mcs=4, n_rb=6, channel="ETU", n_pdcch_symbols=3, n_rx=2,
+        n_harq_rounds=1, batch=64, est_mode="joint",
+        time_domain_channel=True))
+    errs, reach = sim.run_snr(6.0, 64)
+    assert errs[0] <= reach[0] * 0.2, (errs, reach)
