@@ -353,15 +353,17 @@ def _fir_from_taps(cm: "ChannelModel", taps):
 
 
 def fir_freq_response(cm: "ChannelModel", taps, n_fft: int | None = None):
-    """The truncated FIR's exact response at the occupied subcarriers
-    (incl. the FIR_PRE_RING linear phase) — the genie-CE counterpart of
-    apply_channel_time, and the cross-check for its correctness."""
+    """The truncated FIR's exact response at the occupied subcarriers,
+    with the FIR_PRE_RING bulk delay REMOVED (apply_channel_time
+    compensates it at the receive window, so the effective channel stays
+    causal within the estimators' [0, CP+2) delay support) — the
+    genie-CE counterpart of apply_channel_time and its cross-check."""
     fir = _fir_from_taps(cm, taps)                  # [..., L_ch]
     fp = cm.fp
     sc = np.arange(fp.n_sc)
     half = 6 * fp.n_rb
     f_idx = np.where(sc < half, sc - half, sc - half + 1)
-    k = np.arange(fir.shape[-1])
+    k = np.arange(fir.shape[-1]) - FIR_PRE_RING
     F = np.exp(-2j * np.pi * f_idx[:, None] * k[None, :] / fp.n_fft)
     return jnp.matmul(fir, jnp.asarray(F.T, jnp.complex64),
                       preferred_element_type=jnp.complex64)
@@ -388,5 +390,9 @@ def apply_channel_time(t, cm: "ChannelModel", taps):
     n = S + L                                       # linear-conv length
     Tf = jnp.fft.fft(t, n=n, axis=-1)
     Ff = jnp.fft.fft(fir, n=n, axis=-1)
-    y = jnp.fft.ifft(Tf * Ff, axis=-1)[:, :S]
+    # receive window starts FIR_PRE_RING samples in: the bulk pre-ring
+    # offset is absorbed by timing (as the reference's sync absorbs its
+    # NB_SAMPLES_CHANNEL_OFFSET), keeping the effective channel causal
+    # within the estimators' CP-long delay support
+    y = jnp.fft.ifft(Tf * Ff, axis=-1)[:, FIR_PRE_RING:FIR_PRE_RING + S]
     return y.astype(jnp.complex64)

