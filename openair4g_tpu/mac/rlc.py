@@ -348,6 +348,14 @@ class RlcAm:
         n = 0
         fi_end = True
         while self._txq and (size is None or n < size):
+            # Header growth guard (ADVICE r4): each concatenated SDU past
+            # the first adds a 2-byte LI, but callers budget a fixed
+            # 12-byte header reserve (4 fixed + up to 4 LIs). Stop
+            # concatenating once the next LI would outgrow that reserve
+            # (also keeps pack_am's len(lis) < 16 wire limit safe).
+            if size is not None and len(chunks) >= 5:
+                fi_end = True
+                break
             head = self._txq[0]
             avail = len(head) - self._tx_offset
             take = avail if size is None else min(size - n, avail)

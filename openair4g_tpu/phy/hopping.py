@@ -134,8 +134,11 @@ def pusch_hopping_region(n_rb_ul: int, n_sb: int, n_rb_ho: int) -> tuple:
         n_rb_sb = n_rb_ul
         first = 0
     else:
-        n_rb_sb = (n_rb_ul - n_rb_ho - ((n_rb_ul - n_rb_ho) % n_sb)) // n_sb
-        first = n_rb_ho // 2 + ((n_rb_ul - n_rb_ho) % n_sb) // 2
+        # 36.211 §5.3.4 exact: N_RB_sb = floor((N_RB_UL - N_RB_HO -
+        # (N_RB_HO mod 2)) / N_sb); region starts at ceil(N_RB_HO / 2)
+        # (ADVICE r4: the previous centering term was non-spec).
+        n_rb_sb = (n_rb_ul - n_rb_ho - (n_rb_ho % 2)) // n_sb
+        first = (n_rb_ho + 1) // 2
     return first, n_rb_sb, n_rb_sb * n_sb
 
 
@@ -161,10 +164,16 @@ def pusch_hopped_rb_start(rb_start: int, n_prb: int, n_rb_ul: int,
     if hop_i == 0:
         return rb_start
     if not type2:
+        # Type 1 alternates: odd hops take the Table 8.4-2 offset from
+        # the FIRST-slot position, even hops return to it (36.213 §8.4.1
+        # defines n~_PRB(i) from n~_S1, not cumulatively; ADVICE r4).
+        if hop_i % 2 == 0:
+            return rb_start
         if nbits == 1:
             off = n_use // 2
         else:
-            off = (n_use // 4, -(n_use // 4), n_use // 2)[hopping_bits]
+            # 36.213 Table 8.4-2: '01' is -ceil(N/4) (ADVICE r4)
+            off = (n_use // 4, -((n_use + 3) // 4), n_use // 2)[hopping_bits]
         return first + (n_tilde + off) % n_use
     f_hop, f_m = pusch_hop_pattern(nid_cell, n_sb)
     i = hop_i % len(f_hop)

@@ -27,9 +27,11 @@ import jax.numpy as jnp
 N_ZC = 839
 N_ZC_F4 = 139           # preamble format 4 (prach.c:626)
 
-# NCS configurations (36.211 Tables 5.7.2-2 / 5.7.2-3; prach.c:50-52)
-NCS_UNRESTRICTED = (13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167,
-                    279, 419, 838)
+# NCS configurations (36.211 Tables 5.7.2-2 / 5.7.2-3; prach.c:50-52),
+# indexed by zeroCorrelationZoneConfig. N_CS = 0 means "no cyclic-shift
+# limit": one preamble per root, the whole N_ZC window is its zone.
+NCS_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119,
+                    167, 279, 419)
 NCS_RESTRICTED = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158,
                   202, 237)    # high-speed set
 NCS_FORMAT4 = (2, 4, 6, 8, 10, 12, 15)
@@ -218,6 +220,7 @@ def prach_detect(rx_freq, u: int, ncs: int, threshold: float = 15.0,
     corr(n) = IDFT(rx .* conj(X_u)) — one MXU matmul; preamble v owns the
     cyclic-shift window [C_v, C_v + ncs).
     """
+    win_len = ncs if ncs else n_zc          # N_CS=0: whole-root window
     if shifts is None:
         shifts = [v * ncs for v in range(n_preambles(ncs, n_zc))]
     prod = rx_freq * jnp.asarray(_root_freq_conj(u, n_zc))
@@ -233,7 +236,7 @@ def prach_detect(rx_freq, u: int, ncs: int, threshold: float = 15.0,
     # {j - C_v, j in [0, ncs)} and the in-window argmax IS the delay.
     e_wins, d_wins = [], []
     for cv in shifts:
-        win = (np.arange(ncs) - cv) % n_zc               # positions of v
+        win = (np.arange(win_len) - cv) % n_zc           # positions of v
         ew = e[:, jnp.asarray(win)]                      # [B, ncs]
         pk = jnp.argmax(ew, axis=-1)
         e_wins.append(jnp.max(ew, axis=-1) / floor[:, 0])

@@ -133,17 +133,18 @@ def make_grid_map(n_rb: int, n_pdcch: int, n_id_cell: int = 0,
                    pilot_port=pilot_port, nports=nports)
 
 
-_FILL_IDX_CACHE: dict = {}
-
-
 def _fill_gather_idx(gm: GridMap, with_pilots: bool) -> np.ndarray:
     """[nsym*n_fft] source indices into concat([data, pilots, zero]):
     grid construction as ONE static gather instead of two scatters (TPU
     scatters lower poorly; the take is ~25% cheaper on the 100-PRB
-    chain). GridMap instances are lru-cached singletons, so id() keys
-    are stable."""
-    key = (id(gm), with_pilots)
-    if key not in _FILL_IDX_CACHE:
+    chain). The index array is cached ON the GridMap instance (ADVICE r4:
+    an id()-keyed global dict can serve stale indices if a map is
+    garbage-collected and another allocates at the same address)."""
+    cache = gm.__dict__.get("_fill_idx")
+    if cache is None:
+        cache = {}
+        object.__setattr__(gm, "_fill_idx", cache)   # frozen dataclass
+    if with_pilots not in cache:
         fp = gm.fp
         nd, npi = gm.n_data_re, len(gm.pilot_sym)
         idx = np.full(fp.symbols_per_subframe * fp.n_fft,
@@ -153,8 +154,8 @@ def _fill_gather_idx(gm: GridMap, with_pilots: bool) -> np.ndarray:
         if with_pilots:
             idx[gm.pilot_sym.astype(np.int64) * fp.n_fft + gm.pilot_bin] = \
                 nd + np.arange(npi)
-        _FILL_IDX_CACHE[key] = idx
-    return _FILL_IDX_CACHE[key]
+        cache[with_pilots] = idx
+    return cache[with_pilots]
 
 
 def fill_grid(symbols, gm: GridMap, with_pilots: bool = True):

@@ -18,9 +18,8 @@ from .messages import Mib, Sib1, Sib2, RrcConnectionSetup, \
 _BW_TABLE = (6, 15, 25, 50, 75, 100)
 
 # 36.211 Table 5.7.2-2: zeroCorrelationZoneConfig -> NCS (preamble fmt 0-3,
-# unrestricted set)
-_NCS_TABLE = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167,
-              279, 419)
+# unrestricted set) — the canonical table lives in phy.prach
+from ..phy.prach import NCS_UNRESTRICTED as _NCS_TABLE
 
 _ALPHA = (0.0, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
 

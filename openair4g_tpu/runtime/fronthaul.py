@@ -102,13 +102,28 @@ class RrhLoopback:
         return ok
 
     # ----------------------------------------------------------- RX side --
+    def _sched_add(self, ts: int, s: np.ndarray) -> None:
+        """Schedule samples at ts, ACCUMULATING on collision (ADVICE r4:
+        two blocks landing on the same timestamp must sum 'in the air',
+        not overwrite)."""
+        old = self._sched.get(ts)
+        if old is None:
+            self._sched[ts] = s
+            return
+        if len(old) < len(s):
+            old, s = s, old.copy()
+        else:
+            old = old.copy()
+        old[:len(s)] += s
+        self._sched[ts] = old
+
     def _drain_tx(self) -> None:
         while True:
             blk = self.tx.pop()
             if blk is None:
                 return
             ts, s = blk
-            self._sched[ts] = s
+            self._sched_add(ts, s)
 
     def read(self, n: int) -> tuple[int, np.ndarray]:
         """trx_read_func: n samples starting at the current clock."""
@@ -130,7 +145,7 @@ class RrhLoopback:
             if b > a:
                 out[a - start:b - start] += s[a - ts:b - ts]
             if ts + len(s) > start + n:     # tail spills into the future
-                self._sched[start + n] = s[b - ts:].copy()
+                self._sched_add(start + n, s[b - ts:].copy())
         self.clock += n
         self.stats.rx_blocks += 1
         return start, out

@@ -87,9 +87,13 @@ class TestFormatsAndSets:
 
     def test_preamble_map_64(self):
         from openair4g_tpu.phy.prach import preamble_map
-        # unrestricted NCS=13 -> 64 shifts from the first root
-        m = preamble_map(0, 0)
+        # unrestricted config 1 (NCS=13) -> 64 shifts from the first root
+        m = preamble_map(0, 1)
         assert len(m) == 64 and len({u for u, _ in m}) == 1
+        # config 0 (N_CS=0): one preamble per root -> 64 distinct roots
+        m0 = preamble_map(0, 0)
+        assert len(m0) == 64 and len({u for u, _ in m0}) == 64
+        assert all(cv == 0 for _, cv in m0)
         # restricted: multiple roots needed, shifts from restricted groups
         mh = preamble_map(0, 1, high_speed=True)
         assert len(mh) == 64 and len({u for u, _ in mh}) > 1

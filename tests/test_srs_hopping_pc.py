@@ -145,10 +145,13 @@ class TestPuschFreqHopping:
         # 25 RB (1 hopping bit): +floor(N/2) mod N
         assert pusch_hopped_rb_start(2, 4, 25, 0, 0) == 2
         assert pusch_hopped_rb_start(2, 4, 25, 1, 0) == (2 + 12) % 25
-        # 50 RB (2 bits): +N/4, -N/4, +N/2
+        # 50 RB (2 bits): +floor(N/4), -ceil(N/4), +floor(N/2)
         assert pusch_hopped_rb_start(20, 5, 50, 1, 0) == (20 + 12) % 50
-        assert pusch_hopped_rb_start(20, 5, 50, 1, 1) == (20 - 12) % 50
+        assert pusch_hopped_rb_start(20, 5, 50, 1, 1) == (20 - 13) % 50
         assert pusch_hopped_rb_start(20, 5, 50, 1, 2) == (20 + 25) % 50
+        # type 1 alternates across hops: even hop returns to slot-1 PRB
+        assert pusch_hopped_rb_start(2, 4, 25, 2, 0) == 2
+        assert pusch_hopped_rb_start(2, 4, 25, 3, 0) == (2 + 12) % 25
 
     def test_type2_stays_in_region_and_is_cell_deterministic(self):
         from openair4g_tpu.phy.hopping import (pusch_hopped_rb_start,
