@@ -70,11 +70,12 @@ class MmeUeContext:
 
 class Mme:
     def __init__(self, hss: Hss, sgw: SgwPgw, mme_group: int = 4,
-                 mme_code: int = 1):
+                 mme_code: int = 1, eia: int = 2, eea: int = 2):
         self.hss = hss
         self.sgw = sgw
         self.mme_group = mme_group
         self.mme_code = mme_code
+        self.eia, self.eea = eia, eea   # SMC algorithm selection (33.401)
         self.ues: dict[int, MmeUeContext] = {}
         self._next_id = 1
         self._next_mtmsi = 0xC0000001
@@ -203,11 +204,12 @@ class Mme:
             ctx.state = EmmState.SMC_PENDING
             # NAS security activates with the SMC: the command itself is
             # integrity-protected with the new context (nas_message.c)
-            ctx.sec.activate(ctx.kasme)
+            ctx.sec.activate(ctx.kasme, eia=self.eia, eea=self.eea)
             return [DownlinkNasTransport(
                 mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
-                nas_pdu=ctx.sec.protect(SecurityModeCommand().pack(),
-                                        DIR_DOWNLINK)).pack()]
+                nas_pdu=ctx.sec.protect(
+                    SecurityModeCommand(eea=self.eea, eia=self.eia).pack(),
+                    DIR_DOWNLINK, cipher=False)).pack()]
         if isinstance(nas, SecurityModeComplete):
             assert ctx.state == EmmState.SMC_PENDING, ctx.state
             ctx.state = EmmState.CTX_PENDING

@@ -80,12 +80,17 @@ class UeNas:
 
     def handle_downlink(self, nas_pdu: bytes) -> bytes | None:
         """DL NAS in -> optional UL NAS out. Integrity: the first secured
-        message (the SMC) activates the context from KASME; every later
-        message must pass the MAC check (epc/security.py EIA-lite)."""
+        message (the SMC) activates the context from KASME with the
+        algorithm IDs carried IN the SMC (24.301 §5.4.3.3: the UE reads
+        the selected EIA/EEA from the plain inner message, derives the
+        keys, then verifies the SMC's own MAC)."""
         from .security import SECURED_TAG, DIR_DOWNLINK, DIR_UPLINK
+        from .nas import decode_nas, SecurityModeCommand
         if nas_pdu and nas_pdu[0] == SECURED_TAG and not self.sec.active:
             assert self.kasme, "secured NAS before authentication"
-            self.sec.activate(self.kasme)
+            smc = decode_nas(self.sec.peek(nas_pdu))
+            assert isinstance(smc, SecurityModeCommand), smc
+            self.sec.activate(self.kasme, eia=smc.eia, eea=smc.eea)
         nas_pdu = self.sec.unprotect(nas_pdu, DIR_DOWNLINK)
         out = self._handle_plain(nas_pdu)
         if out is not None:

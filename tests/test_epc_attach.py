@@ -77,6 +77,21 @@ def test_attach_and_default_bearer():
     assert bearer.ue_ipv4 == ue_nas.ip
 
 
+def test_attach_with_snow3g_eia1_eea1():
+    """The SMC algorithm IDs really select the cipher: an attach with
+    EIA1/EEA1 (SNOW3G) negotiates, protects and registers end to end."""
+    hss = Hss(); hss.provision(IMSI, K)
+    sgw = SgwPgw()
+    mme = Mme(hss, sgw, eia=1, eea=1)
+    enb_app = EnbApp(mme, sgw)
+    rrc_enb = RrcEnb(); rrc_ue = RrcUe(); ue_nas = UeNas(IMSI, K)
+    _attach(mme, enb_app, rrc_enb, rrc_ue, ue_nas)
+    assert ue_nas.state == UeEmmState.REGISTERED
+    assert ue_nas.sec.eia == 1 and ue_nas.sec.eea == 1
+    mme_ctx = next(iter(mme.ues.values()))
+    assert mme_ctx.sec.eia == 1 and mme_ctx.state == EmmState.REGISTERED
+
+
 def test_user_plane_echo_through_pdcp_and_gtpu():
     hss = Hss(); hss.provision(IMSI, K)
     sgw = SgwPgw(); mme = Mme(hss, sgw)

@@ -56,7 +56,11 @@ def test_nas_mac_failure_discards_message():
     sec_a.activate(kasme)
     sec_b.activate(kasme)
     wire = sec_a.protect(b"\x01hello", DIR_DOWNLINK)
-    assert wire[0] == SECURED_TAG
+    from openair4g_tpu.epc.security import CIPHERED_TAG
+    assert wire[0] == CIPHERED_TAG          # post-SMC NAS is ciphered
+    assert b"hello" not in wire             # ...really ciphered (EEA2)
+    plain_wire = sec_a.protect(b"\x01hello", DIR_DOWNLINK, cipher=False)
+    assert plain_wire[0] == SECURED_TAG
     assert sec_b.unprotect(wire, DIR_DOWNLINK) == b"\x01hello"
     # tamper with the payload -> MAC failure
     bad = wire[:-1] + bytes([wire[-1] ^ 1])
