@@ -15,7 +15,8 @@ from .s1ap import (S1SetupRequest, InitialUeMessage, DownlinkNasTransport,
                    UplinkNasTransport, InitialContextSetupRequest,
                    InitialContextSetupResponse, UeContextReleaseCommand,
                    UeContextReleaseComplete, PathSwitchRequest,
-                   PathSwitchRequestAcknowledge, decode_s1ap)
+                   PathSwitchRequestAcknowledge, ERabSetupRequest,
+                   ERabSetupResponse, ERabReleaseCommand, decode_s1ap)
 from .gtpu import gtpu_encap, gtpu_decap, GTPU_GPDU
 
 
@@ -29,6 +30,7 @@ class EnbUeS1Context:
     enb_teid_dl: int = 0      # downlink tunnel (we allocate)
     pending_nas: list = field(default_factory=list)   # NAS for the UE
     security_key: bytes = b""  # K_eNB from InitialContextSetupRequest
+    erabs: dict = field(default_factory=dict)  # ebi -> (sgw_ul, enb_dl)
 
 
 class EnbApp:
@@ -156,10 +158,34 @@ class EnbApp:
                         mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
                         erab_id=ctx.erab_id, enb_teid_dl=ctx.enb_teid_dl,
                         enb_addr=self.addr).pack()))
+            elif isinstance(msg, ERabSetupRequest):
+                self._mrec("MME", "eNB", "E-RABSetupRequest")
+                ctx = self.by_enb_ue_id[msg.enb_ue_id]
+                teid = self._next_teid
+                self._next_teid += 1
+                ctx.erabs[msg.erab_id] = (msg.sgw_teid_ul, teid)
+                self.by_teid[teid] = ctx
+                if msg.nas_pdu:
+                    ctx.pending_nas.append(msg.nas_pdu)
+                self._mrec("eNB", "MME", "E-RABSetupResponse")
+                self._dispatch(self.mme.handle_s1ap(ERabSetupResponse(
+                    mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+                    erab_id=msg.erab_id, enb_teid_dl=teid,
+                    enb_addr=self.addr).pack()))
+            elif isinstance(msg, ERabReleaseCommand):
+                self._mrec("MME", "eNB", "E-RABReleaseCommand")
+                ctx = self.by_enb_ue_id[msg.enb_ue_id]
+                tun = ctx.erabs.pop(msg.erab_id, None)
+                if tun is not None:
+                    self.by_teid.pop(tun[1], None)
+                if msg.nas_pdu:
+                    ctx.pending_nas.append(msg.nas_pdu)
             elif isinstance(msg, UeContextReleaseCommand):
                 ctx = self.by_enb_ue_id.pop(msg.enb_ue_id)
                 self.by_crnti.pop(ctx.crnti, None)
                 self.by_teid.pop(ctx.enb_teid_dl, None)
+                for _, dl in ctx.erabs.values():
+                    self.by_teid.pop(dl, None)
                 if ctx.pending_nas:
                     self._parting_nas.setdefault(ctx.crnti, []).extend(
                         ctx.pending_nas)
@@ -206,22 +232,35 @@ class EnbApp:
             self._mrec("MME", "eNB", "PathSwitchRequestAcknowledge")
 
     # -------------------------------------------------------- user plane --
-    def uplink_user(self, crnti: int, ip_pkt: bytes) -> None:
-        """PDCP SDU from the UE's DRB -> GTP-U toward the SGW."""
+    def uplink_user(self, crnti: int, ip_pkt: bytes,
+                    ebi: int | None = None) -> None:
+        """PDCP SDU from the UE's DRB -> GTP-U toward the SGW. `ebi`
+        selects a dedicated bearer's tunnel (default: the default
+        bearer)."""
         ctx = self.by_crnti[crnti]
-        assert ctx.sgw_teid_ul, "bearer not established"
+        teid = ctx.sgw_teid_ul if ebi is None or ebi not in ctx.erabs \
+            else ctx.erabs[ebi][0]
+        assert teid, "bearer not established"
         if self.pcap is not None:
             from ..utils.opt import KIND_IP, DIR_UL
             self.pcap.write(ip_pkt, kind=KIND_IP, direction=DIR_UL,
                             rnti=crnti)
         self._mrec("eNB", "SGW", "GTP-U G-PDU (UL)")
-        resp = self.sgw.handle_uplink(gtpu_encap(ctx.sgw_teid_ul, ip_pkt))
+        resp = self.sgw.handle_uplink(gtpu_encap(teid, ip_pkt))
         assert resp is None
 
     def poll_downlink_user(self) -> list:
         """Drain OUR tunnels from the SGW downlink queue ->
         [(crnti, ip_pkt)] for PDCP DL; PDUs addressed to another eNB's
         TEIDs stay queued (several eNBs share one SGW)."""
+        return [(crnti, pkt)
+                for crnti, _, pkt in self.poll_downlink_user_bearers()]
+
+    def poll_downlink_user_bearers(self) -> list:
+        """As poll_downlink_user but bearer-aware:
+        [(crnti, ebi, ip_pkt)] — ebi identifies which E-RAB's tunnel the
+        PDU arrived on (the default bearer's erab_id, or a dedicated
+        EBI), so L2 can map it to the right DRB."""
         out, keep = [], []
         for pdu in self.sgw.dl_queue:
             msg_type, teid, payload = gtpu_decap(pdu)
@@ -230,6 +269,11 @@ class EnbApp:
             if ctx is None:
                 keep.append(pdu)
                 continue
-            out.append((ctx.crnti, payload))
+            ebi = ctx.erab_id
+            for e, (_, dl) in ctx.erabs.items():
+                if dl == teid:
+                    ebi = e
+                    break
+            out.append((ctx.crnti, ebi, payload))
         self.sgw.requeue_unclaimed(keep)
         return out

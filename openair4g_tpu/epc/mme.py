@@ -30,12 +30,15 @@ from .nas import (AttachRequest, AuthenticationRequest,
                   DetachRequest, DetachAccept, TrackingAreaUpdateRequest,
                   TrackingAreaUpdateAccept, TrackingAreaUpdateComplete,
                   ServiceRequest, IdentityRequest, IdentityResponse,
-                  EmmInformation, decode_nas)
+                  EmmInformation, ActivateDedicatedBearerRequest,
+                  ActivateDedicatedBearerAccept, DeactivateBearerRequest,
+                  DeactivateBearerAccept, pack_tft, decode_nas)
 from .s1ap import (S1SetupRequest, S1SetupResponse, InitialUeMessage,
                    DownlinkNasTransport, UplinkNasTransport,
                    InitialContextSetupRequest, InitialContextSetupResponse,
                    UeContextReleaseCommand, UeContextReleaseComplete,
                    PathSwitchRequest, PathSwitchRequestAcknowledge,
+                   ERabSetupRequest, ERabSetupResponse, ERabReleaseCommand,
                    decode_s1ap)
 from .hss import Hss
 from .sgw import SgwPgw
@@ -63,6 +66,7 @@ class MmeUeContext:
     tac: int = 1
     bearer = None
     sec: NasSecurityContext = field(default_factory=NasSecurityContext)
+    dedicated: dict = field(default_factory=dict)   # ebi -> sgw Bearer
     ecm_idle: bool = False           # ECM state (S1 signalling conn up?)
     release_cause: str = "detach"    # what the pending release means
     detaching: bool = False          # DetachAccept sent, awaiting release
@@ -123,7 +127,47 @@ class Mme:
             else:
                 self.ues.pop(msg.mme_ue_id, None)
             return []
+        if isinstance(msg, ERabSetupResponse):
+            # dedicated E-RAB up at the eNB: complete the S1-U tunnel
+            ctx = self.ues[msg.mme_ue_id]
+            b = ctx.dedicated[msg.erab_id]
+            self.sgw.modify_bearer(b.sgw_teid_ul, msg.enb_teid_dl,
+                                   msg.enb_addr)
+            return []
         raise ValueError(f"unhandled S1AP {msg}")
+
+    # ------------------------------------------- dedicated bearers (ESM) --
+    def activate_dedicated_bearer(self, mme_ue_id: int, qci: int = 1,
+                                  tft_dport: int = 0) -> list:
+        """Network-initiated dedicated bearer (24.301 §6.4.2, reference
+        openair-cn NAS/.../ESM/DedicatedEpsBearerContextActivation.c):
+        SGW Create Bearer -> S1AP E-RAB Setup carrying the NAS
+        ActivateDedicatedEPSBearerContextRequest with the TFT."""
+        ctx = self.ues[mme_ue_id]
+        assert ctx.state == EmmState.REGISTERED, ctx.state
+        ebi = max([5, *ctx.dedicated.keys()]) + 1
+        b = self.sgw.create_dedicated_bearer(ctx.bearer.sgw_teid_ul, ebi,
+                                             qci, tft_dport)
+        ctx.dedicated[ebi] = b
+        nas = ActivateDedicatedBearerRequest(
+            ebi=ebi, linked_ebi=ctx.bearer.ebi, qci=qci,
+            tft=pack_tft(tft_dport))
+        return [ERabSetupRequest(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id,
+            erab_id=ebi, qci=qci, sgw_teid_ul=b.sgw_teid_ul,
+            nas_pdu=ctx.sec.protect(nas.pack(), DIR_DOWNLINK)).pack()]
+
+    def deactivate_dedicated_bearer(self, mme_ue_id: int,
+                                    ebi: int) -> list:
+        """Network-initiated dedicated-bearer release (24.301 §6.4.4):
+        E-RAB Release + NAS DeactivateEPSBearerContextRequest."""
+        ctx = self.ues[mme_ue_id]
+        b = ctx.dedicated[ebi]
+        self.sgw.delete_dedicated_bearer(b.sgw_teid_ul)
+        nas = DeactivateBearerRequest(ebi=ebi)
+        return [ERabReleaseCommand(
+            mme_ue_id=ctx.mme_ue_id, enb_ue_id=ctx.enb_ue_id, erab_id=ebi,
+            nas_pdu=ctx.sec.protect(nas.pack(), DIR_DOWNLINK)).pack()]
 
     # --------------------------------------------------------- procedures --
     def _ctx_by_guti(self, guti: int) -> MmeUeContext | None:
@@ -263,6 +307,12 @@ class Mme:
         if isinstance(nas, IdentityResponse):
             # identification procedure answer (emm/Identification.c)
             assert nas.imsi == ctx.imsi, (nas.imsi, ctx.imsi)
+            return []
+        if isinstance(nas, ActivateDedicatedBearerAccept):
+            assert nas.ebi in ctx.dedicated, nas.ebi
+            return []
+        if isinstance(nas, DeactivateBearerAccept):
+            ctx.dedicated.pop(nas.ebi, None)
             return []
         raise ValueError(f"unhandled NAS {nas}")
 

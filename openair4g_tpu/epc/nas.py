@@ -290,6 +290,54 @@ class ActivateDefaultBearerAccept:
     ebi: int = _f(1)
 
 
+def pack_tft(dl_udp_dport: int, precedence: int = 0) -> bytes:
+    """Traffic Flow Template, 24.008 §10.5.6.12 shape reduced to the one
+    filter kind the SGi-lite user plane can match: downlink UDP
+    destination port. Layout: op(1)=create | nfilters(1) | per filter:
+    id(1), direction(1)=DL, precedence(1), dport(2)."""
+    return bytes([0x20, 1, 0, 1, precedence & 0xFF,
+                  (dl_udp_dport >> 8) & 0xFF, dl_udp_dport & 0xFF])
+
+
+def unpack_tft(tft: bytes) -> int:
+    """-> downlink UDP destination port of filter 0 (0 = match-all)."""
+    if len(tft) < 7 or tft[1] < 1:
+        return 0
+    return (tft[5] << 8) | tft[6]
+
+
+@_nas_message(0xC5)
+@dataclass
+class ActivateDedicatedBearerRequest:
+    """24.301 §8.3.3 ActivateDedicatedEPSBearerContextRequest: new EBI
+    linked to the default bearer's EBI, QoS (QCI) and the TFT that
+    steers traffic onto it (reference openair-cn/NAS .../ESM/
+    DedicatedEpsBearerContextActivation.c)."""
+    ebi: int = _f(1)
+    linked_ebi: int = _f(1, default=5)
+    qci: int = _f(1, default=1)
+    tft: bytes = _fb(None)
+
+
+@_nas_message(0xC6)
+@dataclass
+class ActivateDedicatedBearerAccept:
+    ebi: int = _f(1)
+
+
+@_nas_message(0xCD)
+@dataclass
+class DeactivateBearerRequest:
+    """24.301 §8.3.12 DeactivateEPSBearerContextRequest."""
+    ebi: int = _f(1)
+
+
+@_nas_message(0xCE)
+@dataclass
+class DeactivateBearerAccept:
+    ebi: int = _f(1)
+
+
 # ------------------------------------------------------------- security --
 
 def auth_vector(k: bytes, rand: bytes):

@@ -136,6 +136,41 @@ class InitialContextSetupResponse:
     enb_addr: int = _f(4, default=0x0A000002)
 
 
+@_s1ap_message(0x22)
+@dataclass
+class ERabSetupRequest:
+    """Dedicated E-RAB setup (36.413 §8.2.1): new E-RAB id + SGW uplink
+    tunnel + the piggybacked NAS ActivateDedicatedBearerRequest."""
+    mme_ue_id: int = _f(4)
+    enb_ue_id: int = _f(4)
+    erab_id: int = _f(1)
+    qci: int = _f(1, default=1)
+    sgw_teid_ul: int = _f(4, default=0)
+    sgw_addr: int = _f(4, default=0x0A000001)
+    nas_pdu: bytes = _fb()
+
+
+@_s1ap_message(0x23)
+@dataclass
+class ERabSetupResponse:
+    mme_ue_id: int = _f(4)
+    enb_ue_id: int = _f(4)
+    erab_id: int = _f(1)
+    enb_teid_dl: int = _f(4, default=0)
+    enb_addr: int = _f(4, default=0x0A000002)
+
+
+@_s1ap_message(0x24)
+@dataclass
+class ERabReleaseCommand:
+    """36.413 §8.2.3: tear one dedicated E-RAB down (+ piggybacked NAS
+    DeactivateBearerRequest)."""
+    mme_ue_id: int = _f(4)
+    enb_ue_id: int = _f(4)
+    erab_id: int = _f(1)
+    nas_pdu: bytes = _fb()
+
+
 @_s1ap_message(0x40)
 @dataclass
 class PathSwitchRequest:

@@ -22,6 +22,9 @@ class Bearer:
     sgw_teid_ul: int          # eNB -> SGW tunnel id (we allocated)
     enb_teid_dl: int = 0      # SGW -> eNB tunnel id (eNB allocated)
     enb_addr: int = 0
+    qci: int = 9              # default bearer: non-GBR QCI 9
+    linked_ebi: int = 0       # dedicated bearers link to a default EBI
+    tft_dport: int = 0        # DL TFT: UDP destination port (0 = none)
 
 
 class SgwPgw:
@@ -29,7 +32,8 @@ class SgwPgw:
 
     def __init__(self, ip_pool_base: int = 0x0C000002):   # 12.0.0.2+
         self._bearers_by_teid: dict[int, Bearer] = {}
-        self._bearers_by_ip: dict[int, Bearer] = {}
+        self._bearers_by_ip: dict[int, Bearer] = {}          # default bearer
+        self._dedicated_by_ip: dict[int, list] = {}          # TFT bearers
         self._next_teid = 0x1000
         self._next_ip = ip_pool_base
         self.dl_queue: list[bytes] = []        # GTP-U PDUs toward the eNB
@@ -46,6 +50,27 @@ class SgwPgw:
         self._bearers_by_teid[b.sgw_teid_ul] = b
         self._bearers_by_ip[b.ue_ipv4] = b
         return b
+
+    def create_dedicated_bearer(self, linked_teid_ul: int, ebi: int,
+                                qci: int, tft_dport: int) -> Bearer:
+        """Dedicated bearer on an existing PDN connection (reference
+        SGW-LITE Create Bearer): same UE IP, own S1-U tunnel pair, DL
+        traffic steered by the TFT's UDP destination port."""
+        parent = self._bearers_by_teid[linked_teid_ul]
+        b = Bearer(imsi=parent.imsi, ebi=ebi, ue_ipv4=parent.ue_ipv4,
+                   sgw_teid_ul=self._next_teid, qci=qci,
+                   linked_ebi=parent.ebi, tft_dport=tft_dport)
+        self._next_teid += 1
+        self._bearers_by_teid[b.sgw_teid_ul] = b
+        self._dedicated_by_ip.setdefault(b.ue_ipv4, []).append(b)
+        return b
+
+    def delete_dedicated_bearer(self, sgw_teid_ul: int) -> None:
+        b = self._bearers_by_teid.pop(sgw_teid_ul, None)
+        if b is not None:
+            sibs = self._dedicated_by_ip.get(b.ue_ipv4, [])
+            if b in sibs:
+                sibs.remove(b)
 
     def modify_bearer(self, sgw_teid_ul: int, enb_teid_dl: int,
                       enb_addr: int) -> None:
@@ -69,8 +94,34 @@ class SgwPgw:
         b = self._bearers_by_teid.pop(sgw_teid_ul, None)
         if b is not None:
             self._bearers_by_ip.pop(b.ue_ipv4, None)
+            # a PDN connection takes its dedicated bearers down with it
+            for d in self._dedicated_by_ip.pop(b.ue_ipv4, []):
+                self._bearers_by_teid.pop(d.sgw_teid_ul, None)
 
     # -------------------------------------------------------- user plane --
+    @staticmethod
+    def _udp_dport(pkt: bytes) -> int | None:
+        """UDP destination port of a minimal IPv4/UDP packet (None if the
+        payload isn't one — non-IP test payloads ride the default
+        bearer)."""
+        if len(pkt) < 28 or (pkt[0] >> 4) != 4 or pkt[9] != 17:
+            return None
+        ihl = (pkt[0] & 0xF) * 4
+        if len(pkt) < ihl + 4:
+            return None
+        return (pkt[ihl + 2] << 8) | pkt[ihl + 3]
+
+    def _dl_bearer(self, ue_ipv4: int, pkt: bytes) -> Bearer:
+        """TFT routing: a dedicated bearer whose DL filter matches the
+        packet's UDP destination port wins; otherwise the default bearer
+        (24.301: the default bearer carries non-matching traffic)."""
+        dport = self._udp_dport(pkt)
+        if dport is not None:
+            for b in self._dedicated_by_ip.get(ue_ipv4, []):
+                if b.tft_dport == dport:
+                    return b
+        return self._bearers_by_ip[ue_ipv4]
+
     def handle_uplink(self, gtpu_pdu: bytes) -> bytes | None:
         """eNB -> SGW S1-U PDU. G-PDUs go to the PDN; the PDN's response
         (echo by default) is encapsulated downlink. Echo Requests get an
@@ -82,8 +133,9 @@ class SgwPgw:
         b = self._bearers_by_teid[teid]
         resp = self.pdn_handler(b.ue_ipv4, payload)
         if resp is not None:
-            assert b.enb_teid_dl, "downlink tunnel not established"
-            self.dl_queue.append(gtpu_encap(b.enb_teid_dl, resp))
+            rb = self._dl_bearer(b.ue_ipv4, resp)      # TFT routing
+            assert rb.enb_teid_dl, "downlink tunnel not established"
+            self.dl_queue.append(gtpu_encap(rb.enb_teid_dl, resp))
         return None
 
     def requeue_unclaimed(self, keep: list, max_age: int = 64) -> None:
@@ -100,7 +152,7 @@ class SgwPgw:
         self.dl_queue = kept
 
     def send_downlink(self, ue_ipv4: int, pkt: bytes) -> None:
-        """PDN-originated downlink packet toward a UE IP."""
-        b = self._bearers_by_ip[ue_ipv4]
+        """PDN-originated downlink packet toward a UE IP (TFT-routed)."""
+        b = self._dl_bearer(ue_ipv4, pkt)
         assert b.enb_teid_dl, "downlink tunnel not established"
         self.dl_queue.append(gtpu_encap(b.enb_teid_dl, pkt))

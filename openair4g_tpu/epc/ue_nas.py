@@ -18,7 +18,10 @@ from .nas import (AttachRequest, AuthenticationRequest,
                   TrackingAreaUpdateAccept, TrackingAreaUpdateComplete,
                   ServiceRequest, IdentityRequest, IdentityResponse,
                   GutiReallocationCommand, GutiReallocationComplete,
-                  EmmInformation, decode_nas, auth_vector)
+                  EmmInformation, ActivateDedicatedBearerRequest,
+                  ActivateDedicatedBearerAccept, DeactivateBearerRequest,
+                  DeactivateBearerAccept, unpack_tft, decode_nas,
+                  auth_vector)
 
 
 class UeEmmState(Enum):
@@ -41,6 +44,7 @@ class UeNas:
         self.tac = 1
         self.network_name = b""
         self.tau_count = 0
+        self.bearers: dict[int, dict] = {}   # dedicated: ebi -> params
         from .security import NasSecurityContext
         self.sec = NasSecurityContext()
 
@@ -141,4 +145,28 @@ class UeNas:
         if isinstance(msg, EmmInformation):
             self.network_name = msg.network_name
             return None
+        if isinstance(msg, ActivateDedicatedBearerRequest):
+            # esm/DedicatedEpsBearerContextActivation.c: record the TFT
+            # + QoS against the new EBI, linked to the default bearer
+            assert msg.linked_ebi == self.ebi, (msg.linked_ebi, self.ebi)
+            self.bearers[msg.ebi] = dict(qci=msg.qci,
+                                         tft_dport=unpack_tft(msg.tft),
+                                         linked_ebi=msg.linked_ebi)
+            return ActivateDedicatedBearerAccept(ebi=msg.ebi).pack()
+        if isinstance(msg, DeactivateBearerRequest):
+            self.bearers.pop(msg.ebi, None)
+            return DeactivateBearerAccept(ebi=msg.ebi).pack()
         raise ValueError(f"unhandled DL NAS {msg}")
+
+    def bearer_for_uplink(self, pkt: bytes) -> int:
+        """UE-side UL TFT: an IPv4/UDP packet whose SOURCE port matches a
+        dedicated bearer's service-flow port rides that bearer (the UL
+        mirror of the DL filter); everything else takes the default
+        bearer (24.301 §6.4.2 match-all on the default)."""
+        if len(pkt) >= 28 and (pkt[0] >> 4) == 4 and pkt[9] == 17:
+            ihl = (pkt[0] & 0xF) * 4
+            sport = (pkt[ihl] << 8) | pkt[ihl + 1]
+            for ebi, b in self.bearers.items():
+                if b["tft_dport"] == sport:
+                    return ebi
+        return self.ebi

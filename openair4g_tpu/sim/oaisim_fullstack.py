@@ -58,6 +58,8 @@ from .oaisim import default_bler_table
 
 LCID_SRB1 = 1
 LCID_DRB = 3
+LCID_DRB2 = 4                        # dedicated bearer's DRB (EBI 6)
+VOICE_PORT = 7070                    # the dedicated bearer's TFT port
 
 
 def _srb_pdcp(direction: int) -> PdcpEntity:
@@ -86,7 +88,11 @@ class FullStackScenario:
     #   "tau" (connected-mode tracking area update + GUTI realloc) or
     #   "service_request" (network releases the UE to ECM-IDLE with the
     #   context kept; the UE re-runs RA and sends ServiceRequest as the
-    #   initial NAS with its S-TMSI; bearer re-established; 2nd echo)
+    #   initial NAS with its S-TMSI; bearer re-established; 2nd echo) or
+    #   "dedicated_bearer" (network-initiated dedicated bearer with a
+    #   TFT: E-RAB Setup + NAS activation over the air, then a voice
+    #   flow on DRB2/EBI-6 and the data echo on the default DRB — two
+    #   flows over two GTP-U tunnels)
 
 
 @dataclass
@@ -104,11 +110,17 @@ class UeFull:
     drb: RlcUm | None = None
     pdcp_ul: PdcpEntity | None = None
     pdcp_dl: PdcpEntity | None = None
+    drb2: RlcUm | None = None
+    pdcp2_ul: PdcpEntity | None = None
+    pdcp2_dl: PdcpEntity | None = None
     srb1_txq: list = field(default_factory=list)
     status_txq: list = field(default_factory=list)
     msg3: bytes | None = None
     crnti: int | None = None
     delivered_ip: list = field(default_factory=list)
+    delivered_voice: list = field(default_factory=list)
+    voice_sent: bool = False
+    voice_tti: int = 0
     echo_sent: bool = False
     echo_tti: int = 0
     ra_attempts: int = 0
@@ -124,7 +136,8 @@ class UeFull:
     def sr_pending(self) -> bool:
         return bool(self.msg3 is not None or self.srb1_txq
                     or self.status_txq or self.srb1.has_data()
-                    or (self.drb is not None and self.drb._txq))
+                    or (self.drb is not None and self.drb._txq)
+                    or (self.drb2 is not None and self.drb2._txq))
 
 
 @dataclass
@@ -137,9 +150,13 @@ class EnbUeL2:
     drb: RlcUm | None = None
     pdcp_dl: PdcpEntity | None = None
     pdcp_ul: PdcpEntity | None = None
+    drb2: RlcUm | None = None
+    pdcp2_dl: PdcpEntity | None = None
+    pdcp2_ul: PdcpEntity | None = None
     srb1_txq: list = field(default_factory=list)
     status_txq: list = field(default_factory=list)
     drb_txq: list = field(default_factory=list)
+    drb2_txq: list = field(default_factory=list)
     msg4: tuple | None = None        # (cr_ce, setup_bytes)
     msg3_seen: bytes | None = None
     smc_sent: bool = False
@@ -152,8 +169,9 @@ class EnbUeL2:
     def dl_pending(self) -> bool:
         return bool(self.msg4 is not None or self.srb1_txq
                     or self.status_txq or self.srb1.has_data()
-                    or self.drb_txq
-                    or (self.drb is not None and self.drb._txq))
+                    or self.drb_txq or self.drb2_txq
+                    or (self.drb is not None and self.drb._txq)
+                    or (self.drb2 is not None and self.drb2._txq))
 
 
 class OaisimFullStack:
@@ -327,6 +345,17 @@ class OaisimFullStack:
                 raw = pack_um(um)
                 subs.append((LCID_DRB, raw))
                 budget -= len(raw) + 2
+        if l2.drb2 is not None:
+            for p in l2.drb2_txq:
+                l2.drb2.tx_enqueue(p)
+            l2.drb2_txq.clear()
+            while budget > 6 and l2.drb2._txq:
+                um = l2.drb2.tx_pdu(budget - 6)
+                if um is None:
+                    break
+                raw = pack_um(um)
+                subs.append((LCID_DRB2, raw))
+                budget -= len(raw) + 2
         return pack_mac_pdu(subs, tbs) if subs else None
 
     # -------------------------------------------------------------- UE DL --
@@ -404,6 +433,14 @@ class OaisimFullStack:
                     if pkt is not None:
                         ue.delivered_ip.append(pkt)
                         self._ev(f"ue{ue.ue_id} received IP echo")
+            elif lcid == LCID_DRB2 and ue.drb2 is not None:
+                n0 = len(ue.drb2.delivered)
+                ue.drb2.rx_pdu(unpack_um(payload))
+                for sdu in ue.drb2.delivered[n0:]:
+                    pkt = ue.pdcp2_dl.data_ind(sdu)
+                    if pkt is not None:
+                        ue.delivered_voice.append(pkt)
+                        self._ev(f"ue{ue.ue_id} received voice (DRB2)")
 
     def _ue_dcch(self, ue: UeFull, e: int, sdu: bytes):
         msg = decode_message(sdu)
@@ -530,6 +567,14 @@ class OaisimFullStack:
                 raw = pack_um(um)
                 subs.append((LCID_DRB, raw))
                 budget -= len(raw) + 2
+        if ue.drb2 is not None:
+            while budget > 6 and ue.drb2._txq:
+                um = ue.drb2.tx_pdu(budget - 6)
+                if um is None:
+                    break
+                raw = pack_um(um)
+                subs.append((LCID_DRB2, raw))
+                budget -= len(raw) + 2
         return pack_mac_pdu(subs, tbs)
 
     # ------------------------------------------------------------- eNB UL --
@@ -574,6 +619,16 @@ class OaisimFullStack:
                     pkt = l2.pdcp_ul.data_ind(sdu)
                     if pkt is not None:
                         self.enb_app[e].uplink_user(l2.crnti, pkt)
+            elif lcid == LCID_DRB2 and l2.drb2 is not None:
+                n0 = len(l2.drb2.delivered)
+                l2.drb2.rx_pdu(unpack_um(payload))
+                app = self.enb_app[e]
+                ctx = app.by_crnti.get(l2.crnti)
+                ded = next(iter(ctx.erabs)) if ctx and ctx.erabs else None
+                for sdu in l2.drb2.delivered[n0:]:
+                    pkt = l2.pdcp2_ul.data_ind(sdu)
+                    if pkt is not None and ded is not None:
+                        app.uplink_user(l2.crnti, pkt, ebi=ded)
 
     def _enb_dcch(self, e: int, ue: UeFull, l2: EnbUeL2, sdu: bytes):
         msg = decode_message(sdu)
@@ -625,6 +680,8 @@ class OaisimFullStack:
         ue.srb_pdcp_rx = _srb_pdcp(0)
         ue.drb = None
         ue.pdcp_ul = ue.pdcp_dl = None
+        ue.drb2 = None
+        ue.pdcp2_ul = ue.pdcp2_dl = None
         ue.srb1_txq.clear()
         ue.status_txq.clear()
         ue.echo_sent = False
@@ -653,6 +710,8 @@ class OaisimFullStack:
             ue.srb_pdcp_rx.arm_rx(k_int)
         ue.drb = None
         ue.pdcp_ul = ue.pdcp_dl = None
+        ue.drb2 = None
+        ue.pdcp2_ul = ue.pdcp2_dl = None
         ue.srb1_txq.clear()
         ue.status_txq.clear()
         ue.echo_sent = False
@@ -684,9 +743,16 @@ class OaisimFullStack:
                         ip_payload + bytes([ue.ue_id])))
                     self._ev(f"ue{ue.ue_id} queued IP packet")
             for e in range(sc.n_enb):
-                for crnti, pkt in self.enb_app[e].poll_downlink_user():
+                app = self.enb_app[e]
+                for crnti, ebi, pkt in app.poll_downlink_user_bearers():
                     l2 = self.l2[e].get(crnti)
-                    if l2 is not None and l2.pdcp_dl is not None:
+                    if l2 is None:
+                        continue
+                    ctx = app.by_crnti.get(crnti)
+                    on_dedicated = (ctx is not None and ebi in ctx.erabs)
+                    if on_dedicated and l2.pdcp2_dl is not None:
+                        l2.drb2_txq.append(l2.pdcp2_dl.data_req(pkt))
+                    elif l2.pdcp_dl is not None:
                         l2.drb_txq.append(l2.pdcp_dl.data_req(pkt))
             # timers
             for e in range(sc.n_enb):
@@ -748,6 +814,9 @@ class OaisimFullStack:
             return all(u.post_started
                        and len(u.delivered_ip) >= u.want_echoes
                        for u in self.ues)
+        if sc.post_attach == "dedicated_bearer":
+            return all(u.post_started and u.delivered_voice
+                       for u in self.ues)
         return True
 
     def _post_attach_tti(self) -> None:
@@ -768,6 +837,23 @@ class OaisimFullStack:
                 ue.queue_srb1(UlInformationTransfer(
                     dedicated_info_nas=ue.nas.tau_request(tac=7)).pack())
                 self._ev(f"ue{ue.ue_id} NAS TAU request queued (SRB1)")
+            elif sc.post_attach == "dedicated_bearer":
+                # network-initiated dedicated bearer: E-RAB Setup + NAS
+                # activation ride S1 -> SRB1 -> the abstraction air
+                app = self.enb_app[ue.serving]
+                ctx = app.by_crnti.get(ue.crnti)
+                if ctx is None:
+                    ue.post_started = False
+                    continue
+                for pdu in self.mme.activate_dedicated_bearer(
+                        ctx.mme_ue_id, qci=1, tft_dport=VOICE_PORT):
+                    app.handle_mme_initiated(pdu)
+                l2 = self.l2[ue.serving][ue.crnti]
+                for nas in app.poll_nas(ue.crnti):
+                    l2.queue_srb1(DlInformationTransfer(
+                        dedicated_info_nas=nas).pack())
+                self._ev(f"ue{ue.ue_id} dedicated-bearer activation "
+                         "queued (E-RAB Setup + NAS over SRB1)")
             elif sc.post_attach == "service_request":
                 # network releases the UE to ECM-IDLE, context kept
                 app = self.enb_app[ue.serving]
@@ -782,6 +868,52 @@ class OaisimFullStack:
                 ue.want_echoes = 2
                 self._ev(f"ue{ue.ue_id} released to ECM-IDLE "
                          "(context kept) -> will ServiceRequest")
+        if sc.post_attach == "dedicated_bearer":
+            self._dedicated_bearer_tti()
+
+    def _dedicated_bearer_tti(self) -> None:
+        """Drive the dedicated-bearer flow: once the UE accepted the NAS
+        activation (nas.bearers non-empty), stand up DRB2 on both sides
+        (the second DRB the reference's RRC reconfiguration would add)
+        and run a voice echo over it — dport == the TFT port, so the SGW
+        routes the PDN's response back over the DEDICATED tunnel."""
+        import struct as _st
+        for ue in self.ues:
+            if not ue.post_started or not ue.nas.bearers:
+                continue
+            ebi = next(iter(ue.nas.bearers))
+            if ue.drb2 is None:
+                ue.drb2 = RlcUm()
+                ue.pdcp2_ul = PdcpEntity(PdcpConfig(bearer=ebi,
+                                                    ciphering="xor"))
+                ue.pdcp2_dl = PdcpEntity(PdcpConfig(bearer=ebi,
+                                                    ciphering="xor"))
+                self._ev(f"ue{ue.ue_id} DRB2 up (EBI {ebi})")
+            l2 = self.l2[ue.serving].get(ue.crnti)
+            if l2 is not None and l2.drb2 is None:
+                l2.drb2 = RlcUm()
+                l2.pdcp2_dl = PdcpEntity(PdcpConfig(bearer=ebi,
+                                                    ciphering="xor"))
+                l2.pdcp2_ul = PdcpEntity(PdcpConfig(bearer=ebi,
+                                                    ciphering="xor"))
+            if l2 is None or l2.drb2 is None:
+                continue
+            if (not ue.voice_sent
+                    or (not ue.delivered_voice
+                        and self.tti - ue.voice_tti > 100)):
+                ue.voice_sent = True
+                ue.voice_tti = self.tti
+                ip = bytearray(20)
+                ip[0] = 0x45
+                ip[9] = 17
+                payload = b"voice-" + bytes([ue.ue_id])
+                _st.pack_into(">H", ip, 2, 28 + len(payload))
+                udp = _st.pack(">HHHH", VOICE_PORT, VOICE_PORT,
+                               8 + len(payload), 0)
+                pkt = bytes(ip) + udp + payload
+                assert ue.nas.bearer_for_uplink(pkt) == ebi
+                ue.drb2.tx_enqueue(ue.pdcp2_ul.data_req(pkt))
+                self._ev(f"ue{ue.ue_id} queued voice packet (DRB2)")
 
     def summary(self, ip_payload: bytes) -> dict:
         registered = [ue.nas.state == UeEmmState.REGISTERED
