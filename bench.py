@@ -65,7 +65,7 @@ def _bench_fullchain_20mhz() -> float:
     def step(i):
         keys = jnp.asarray(host_keys(0, batch, stream=i))
         d, kc, kn = sim._tx(keys)
-        ok, _, _ = rnd0(d, kc[0], kn[0], n0, W, ev)
+        ok, _, _, _ = rnd0(d, kc[0], kn[0], n0, W, ev)
         return ok
 
     ok0 = np.asarray(step(0))                   # compile + settle

@@ -66,54 +66,73 @@ def n_rbg(n_rb_dl: int) -> int:
 
 # ------------------------------------------------------------- format 0 --
 
-def dci_format0_size(n_rb_ul: int) -> int:
+def dci_format0_size(n_rb_ul: int, tdd: bool = False) -> int:
     """Padded to format 1A's size (36.212: one blind-decode size covers
-    both; the leading flag bit disambiguates)."""
-    return dci_format1a_size(n_rb_ul)
+    both; the leading flag bit disambiguates). The TDD variant carries a
+    2-bit UL-index (uplink-downlink config 0) / DAI (configs 1-6) field
+    and pads to the TDD 1A size (the reference's DCI0_*_TDD_* structs,
+    dci.h)."""
+    return dci_format1a_size(n_rb_ul, tdd=tdd)
 
 
 def pack_dci_format0(n_rb_ul: int, rb_start: int, n_prb: int, mcs: int,
                      ndi: int, tpc: int = 0, cshift_dmrs: int = 0,
-                     cqi_req: int = 0, hopping: int = 0) -> np.ndarray:
+                     cqi_req: int = 0, hopping: int = 0,
+                     tdd: bool = False, ul_index: int = 0) -> np.ndarray:
+    """tdd=True inserts the 2-bit UL-index/DAI field (36.212 §5.3.3.1.1:
+    present only for TDD; UL index for uplink-downlink config 0, DAI for
+    configs 1-6)."""
     nriv = math.ceil(math.log2(n_rb_ul * (n_rb_ul + 1) / 2))
     fields = [(0, 1),                       # flag: 0 = format 0
               (hopping, 1),
               (_riv(n_rb_ul, rb_start, n_prb), nriv),
-              (mcs, 5), (ndi, 1), (tpc, 2), (cshift_dmrs, 3),
-              (cqi_req, 1)]
+              (mcs, 5), (ndi, 1), (tpc, 2), (cshift_dmrs, 3)]
+    if tdd:
+        fields.append((ul_index, 2))
+    fields.append((cqi_req, 1))
     bits = _pack(fields)
-    pad = dci_format0_size(n_rb_ul) - len(bits)
+    pad = dci_format0_size(n_rb_ul, tdd=tdd) - len(bits)
     if pad > 0:
         bits = np.concatenate([bits, np.zeros(pad, np.int8)])
-    return bits[:dci_format0_size(n_rb_ul)]
+    return bits[:dci_format0_size(n_rb_ul, tdd=tdd)]
 
 
-def unpack_dci_format0(bits: np.ndarray, n_rb_ul: int) -> dict:
+def unpack_dci_format0(bits: np.ndarray, n_rb_ul: int,
+                       tdd: bool = False) -> dict:
     r = _Reader(bits)
     flag = r.take(1)
     nriv = math.ceil(math.log2(n_rb_ul * (n_rb_ul + 1) / 2))
     hopping = r.take(1)
     rb_start, n_prb = _unriv(r.take(nriv), n_rb_ul)
-    return dict(is_format0=flag == 0, hopping=hopping, rb_start=rb_start,
-                n_prb=n_prb, mcs=r.take(5), ndi=r.take(1), tpc=r.take(2),
-                cshift_dmrs=r.take(3), cqi_req=r.take(1))
+    out = dict(is_format0=flag == 0, hopping=hopping, rb_start=rb_start,
+               n_prb=n_prb, mcs=r.take(5), ndi=r.take(1), tpc=r.take(2),
+               cshift_dmrs=r.take(3))
+    if tdd:
+        out["ul_index"] = r.take(2)
+    out["cqi_req"] = r.take(1)
+    return out
 
 
 # ------------------------------------------------------------- format 1 --
 
-def dci_format1_size(n_rb_dl: int) -> int:
+def dci_format1_size(n_rb_dl: int, tdd: bool = False) -> int:
     nbg, _ = n_rbg(n_rb_dl)
-    return nbg + 5 + 3 + 1 + 2 + 2
+    return nbg + 5 + (4 if tdd else 3) + 1 + 2 + 2 + (2 if tdd else 0)
 
 
 def pack_dci_format1(n_rb_dl: int, rbg_bitmap: int, mcs: int, harq_pid: int,
-                     ndi: int, rv: int, tpc: int = 0) -> np.ndarray:
+                     ndi: int, rv: int, tpc: int = 0,
+                     tdd: bool = False, dai: int = 0) -> np.ndarray:
     nbg, _ = n_rbg(n_rb_dl)
-    return _pack([(rbg_bitmap, nbg), (mcs, 5), (harq_pid, 3), (ndi, 1),
-                  (rv, 2), (tpc, 2)])
+    fields = [(rbg_bitmap, nbg), (mcs, 5), (harq_pid, 4 if tdd else 3),
+              (ndi, 1), (rv, 2), (tpc, 2)]
+    if tdd:
+        fields.append((dai, 2))
+    return _pack(fields)
 
 
-def unpack_dci_format1(bits: np.ndarray, n_rb_dl: int) -> dict:
+def unpack_dci_format1(bits: np.ndarray, n_rb_dl: int,
+                       tdd: bool = False) -> dict:
     nbg, p = n_rbg(n_rb_dl)
     r = _Reader(bits)
     bitmap = r.take(nbg)
@@ -121,38 +140,49 @@ def unpack_dci_format1(bits: np.ndarray, n_rb_dl: int) -> dict:
     for g in range(nbg):
         if (bitmap >> (nbg - 1 - g)) & 1:
             rbs += [g * p + i for i in range(p) if g * p + i < n_rb_dl]
-    return dict(rbg_bitmap=bitmap, rb_list=tuple(rbs), mcs=r.take(5),
-                harq_pid=r.take(3), ndi=r.take(1), rv=r.take(2),
-                tpc=r.take(2))
+    out = dict(rbg_bitmap=bitmap, rb_list=tuple(rbs), mcs=r.take(5),
+               harq_pid=r.take(4 if tdd else 3), ndi=r.take(1),
+               rv=r.take(2), tpc=r.take(2))
+    if tdd:
+        out["dai"] = r.take(2)
+    return out
 
 
 # ------------------------------------------------------------ format 2A --
 
-def dci_format2a_size(n_rb_dl: int, n_tx: int = 2) -> int:
+def dci_format2a_size(n_rb_dl: int, n_tx: int = 2,
+                      tdd: bool = False) -> int:
     nbg, _ = n_rbg(n_rb_dl)
     precoding = 0 if n_tx == 2 else 2       # 36.212 Table 5.3.3.1.5A
-    return nbg + 2 + 3 + 1 + (5 + 1 + 2) * 2 + precoding
+    return nbg + 2 + (4 if tdd else 3) + 1 + (5 + 1 + 2) * 2 + precoding \
+        + (2 if tdd else 0)
 
 
 def pack_dci_format2a(n_rb_dl: int, rbg_bitmap: int, harq_pid: int,
                       tb_swap: int, mcs1: int, ndi1: int, rv1: int,
                       mcs2: int, ndi2: int, rv2: int, tpc: int = 0,
-                      n_tx: int = 2) -> np.ndarray:
+                      n_tx: int = 2, tdd: bool = False,
+                      dai: int = 0) -> np.ndarray:
     nbg, _ = n_rbg(n_rb_dl)
-    fields = [(rbg_bitmap, nbg), (tpc, 2), (harq_pid, 3), (tb_swap, 1),
-              (mcs1, 5), (ndi1, 1), (rv1, 2),
-              (mcs2, 5), (ndi2, 1), (rv2, 2)]
+    fields = [(rbg_bitmap, nbg), (tpc, 2)]
+    if tdd:
+        fields.append((dai, 2))
+    fields += [(harq_pid, 4 if tdd else 3), (tb_swap, 1),
+               (mcs1, 5), (ndi1, 1), (rv1, 2),
+               (mcs2, 5), (ndi2, 1), (rv2, 2)]
     if n_tx == 4:
         fields.append((0, 2))
     return _pack(fields)
 
 
 def unpack_dci_format2a(bits: np.ndarray, n_rb_dl: int,
-                        n_tx: int = 2) -> dict:
+                        n_tx: int = 2, tdd: bool = False) -> dict:
     nbg, _ = n_rbg(n_rb_dl)
     r = _Reader(bits)
-    out = dict(rbg_bitmap=r.take(nbg), tpc=r.take(2), harq_pid=r.take(3),
-               tb_swap=r.take(1))
+    out = dict(rbg_bitmap=r.take(nbg), tpc=r.take(2))
+    if tdd:
+        out["dai"] = r.take(2)
+    out.update(harq_pid=r.take(4 if tdd else 3), tb_swap=r.take(1))
     for q in (1, 2):
         out[f"mcs{q}"] = r.take(5)
         out[f"ndi{q}"] = r.take(1)
@@ -177,28 +207,34 @@ def dci_format2_precoding_bits(n_tx: int = 2) -> int:
     return 3 if n_tx == 2 else 6
 
 
-def dci_format2_size(n_rb_dl: int, n_tx: int = 2) -> int:
-    return dci_format2a_size(n_rb_dl, n_tx=4 if n_tx == 4 else 2) + \
+def dci_format2_size(n_rb_dl: int, n_tx: int = 2,
+                     tdd: bool = False) -> int:
+    return dci_format2a_size(n_rb_dl, n_tx=4 if n_tx == 4 else 2,
+                             tdd=tdd) + \
         dci_format2_precoding_bits(n_tx) - (0 if n_tx == 2 else 2)
 
 
 def pack_dci_format2(n_rb_dl: int, rbg_bitmap: int, harq_pid: int,
                      tb_swap: int, mcs1: int, ndi1: int, rv1: int,
                      mcs2: int, ndi2: int, rv2: int, precoding: int,
-                     tpc: int = 0, n_tx: int = 2) -> np.ndarray:
+                     tpc: int = 0, n_tx: int = 2, tdd: bool = False,
+                     dai: int = 0) -> np.ndarray:
     nbg, _ = n_rbg(n_rb_dl)
-    fields = [(rbg_bitmap, nbg), (tpc, 2), (harq_pid, 3), (tb_swap, 1),
-              (mcs1, 5), (ndi1, 1), (rv1, 2),
-              (mcs2, 5), (ndi2, 1), (rv2, 2),
-              (precoding, dci_format2_precoding_bits(n_tx))]
+    fields = [(rbg_bitmap, nbg), (tpc, 2)]
+    if tdd:
+        fields.append((dai, 2))
+    fields += [(harq_pid, 4 if tdd else 3), (tb_swap, 1),
+               (mcs1, 5), (ndi1, 1), (rv1, 2),
+               (mcs2, 5), (ndi2, 1), (rv2, 2),
+               (precoding, dci_format2_precoding_bits(n_tx))]
     return _pack(fields)
 
 
 def unpack_dci_format2(bits: np.ndarray, n_rb_dl: int,
-                       n_tx: int = 2) -> dict:
-    out = unpack_dci_format2a(bits, n_rb_dl, n_tx=2)
+                       n_tx: int = 2, tdd: bool = False) -> dict:
+    out = unpack_dci_format2a(bits, n_rb_dl, n_tx=2, tdd=tdd)
     r = _Reader(bits)
-    r.pos = dci_format2a_size(n_rb_dl, n_tx=2)
+    r.pos = dci_format2a_size(n_rb_dl, n_tx=2, tdd=tdd)
     pinfo = r.take(dci_format2_precoding_bits(n_tx))
     # decode to (rank, pmi) for the 2-TX codebook; cw2 enabled => rank 2
     two_cw = out["mcs2"] != 0 or out["rv2"] != 0

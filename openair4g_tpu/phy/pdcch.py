@@ -55,20 +55,23 @@ def cfi_decode(llr32):
 # mirror dci_tools.c's generate_eNB_dlsch_params_from_dci for format 1A/0)
 # ---------------------------------------------------------------------------
 
-def dci_format1a_size(n_rb_dl: int) -> int:
-    """Format 1A payload bits (VRB flag + RIV + MCS5 + HARQ3 + NDI + RV2 +
-    TPC2), padded per 36.212 §5.3.3.1.3."""
+def dci_format1a_size(n_rb_dl: int, tdd: bool = False) -> int:
+    """Format 1A payload bits (VRB flag + RIV + MCS5 + HARQ + NDI + RV2 +
+    TPC2), padded per 36.212 §5.3.3.1.3. TDD variants carry a 4-bit HARQ
+    process number and a 2-bit Downlink Assignment Index (the reference's
+    DCI1A_*_TDD_1_6_t structs vs the FDD ones, dci.h)."""
     import math
     riv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
-    size = 1 + riv + 5 + 3 + 1 + 2 + 2
+    size = 1 + riv + 5 + (4 if tdd else 3) + 1 + 2 + 2 + (2 if tdd else 0)
     # +1 if size equals an ambiguous format-0 size (simplified: pad to even)
     return size
 
 
 def pack_dci_format1a(n_rb_dl: int, rb_start: int, n_prb: int, mcs: int,
-                      harq_pid: int, ndi: int, rv: int, tpc: int = 0
-                      ) -> np.ndarray:
-    """Pack a format-1A DCI (localized VRB). RIV = N(L-1)+s for L-1 <= N/2."""
+                      harq_pid: int, ndi: int, rv: int, tpc: int = 0,
+                      tdd: bool = False, dai: int = 0) -> np.ndarray:
+    """Pack a format-1A DCI (localized VRB). RIV = N(L-1)+s for L-1 <= N/2.
+    tdd=True appends the TDD fields (4-bit HARQ, 2-bit DAI)."""
     import math
     nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
     assert 1 <= n_prb <= n_rb_dl - rb_start
@@ -77,15 +80,18 @@ def pack_dci_format1a(n_rb_dl: int, rb_start: int, n_prb: int, mcs: int,
     else:
         riv = n_rb_dl * (n_rb_dl - n_prb + 1) + (n_rb_dl - 1 - rb_start)
     fields = [(1, 1),            # localized VRB
-              (riv, nriv), (mcs, 5), (harq_pid, 3), (ndi, 1),
+              (riv, nriv), (mcs, 5), (harq_pid, 4 if tdd else 3), (ndi, 1),
               (rv, 2), (tpc, 2)]
+    if tdd:
+        fields.append((dai, 2))
     bits = []
     for val, width in fields:
         bits += [(val >> (width - 1 - i)) & 1 for i in range(width)]
     return np.asarray(bits, np.int8)
 
 
-def unpack_dci_format1a(bits: np.ndarray, n_rb_dl: int) -> dict:
+def unpack_dci_format1a(bits: np.ndarray, n_rb_dl: int,
+                        tdd: bool = False) -> dict:
     import math
     nriv = math.ceil(math.log2(n_rb_dl * (n_rb_dl + 1) / 2))
     it = iter(range(len(bits)))
@@ -98,14 +104,19 @@ def unpack_dci_format1a(bits: np.ndarray, n_rb_dl: int) -> dict:
 
     loc = take(1)
     riv = take(nriv)
-    mcs, harq, ndi, rv, tpc = take(5), take(3), take(1), take(2), take(2)
+    mcs, harq = take(5), take(4 if tdd else 3)
+    ndi, rv, tpc = take(1), take(2), take(2)
+    out = dict(vrb_localized=loc, mcs=mcs,
+               harq_pid=harq, ndi=ndi, rv=rv, tpc=tpc)
+    if tdd:
+        out["dai"] = take(2)
     lcrb = riv // n_rb_dl + 1
     rb_start = riv % n_rb_dl
     if rb_start + lcrb > n_rb_dl:
         lcrb = n_rb_dl - lcrb + 2
         rb_start = n_rb_dl - 1 - rb_start
-    return dict(vrb_localized=loc, rb_start=rb_start, n_prb=lcrb, mcs=mcs,
-                harq_pid=harq, ndi=ndi, rv=rv, tpc=tpc)
+    out.update(rb_start=rb_start, n_prb=lcrb)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ class CellConfig:
     dci_L: int = 4
     dci_cce_offset: int = 0
     subframe: int = 7
+    tdd: bool = False        # TDD cell: 1A carries 4-bit HARQ + 2-bit DAI
 
 
 class EnbTx:
@@ -76,8 +77,9 @@ class EnbTx:
                                             n_cce * BITS_PER_CCE)
         self.set_dci_payload(pack_dci_format1a(
             cfg.n_rb, rb_start=cfg.rb_start, n_prb=cfg.n_prb, mcs=cfg.mcs,
-            harq_pid=0, ndi=1, rv=0))
-        assert len(self.dci_payload) == dci_format1a_size(cfg.n_rb)
+            harq_pid=0, ndi=1, rv=0, tdd=cfg.tdd))
+        assert len(self.dci_payload) == dci_format1a_size(cfg.n_rb,
+                                                          tdd=cfg.tdd)
 
         # ---- PHICH group 0 geometry -------------------------------------
         self._init_phich(ns)

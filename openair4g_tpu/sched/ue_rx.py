@@ -25,15 +25,38 @@ from ..phy.channel_est import make_wiener_stack, estimate_channel
 from ..phy.measurements import measure
 from ..phy.pdcch import (cfi_decode, dci_format1a_size,
                          pdcch_scramble_seq, search_space_candidates,
+                         common_search_candidates, ue_search_candidates,
                          dci_blind_decode, BITS_PER_CCE)
+from ..phy.dci_formats import (dci_format1_size, dci_format2_size,
+                               dci_format2a_size, dci_format1b_size,
+                               dci_format1d_size)
 from ..phy.phich import phich_group_rx, phich_reg_positions
 from .enb_tx import CellConfig
+
+
+# 36.213 Table 7.1-5: the TM-specific DCI format searched in the
+# UE-specific space (format 1A is always searched as well)
+def tm_ue_format(tm: int, n_rb: int, n_tx: int = 2):
+    """-> (format name, payload size) of the transmission mode's
+    UE-specific-space DCI (dci.c:2788's per-TM size hypotheses)."""
+    if tm in (1, 2, 7):
+        return "1", dci_format1_size(n_rb)
+    if tm == 3:
+        return "2a", dci_format2a_size(n_rb, n_tx)
+    if tm == 4:
+        return "2", dci_format2_size(n_rb, n_tx)
+    if tm == 5:
+        return "1d", dci_format1d_size(n_rb, n_tx)
+    if tm == 6:
+        return "1b", dci_format1b_size(n_rb, n_tx)
+    raise ValueError(f"TM{tm}")
 
 
 class UeRx:
     """Full-subframe receiver for one configured UE."""
 
-    def __init__(self, cfg: CellConfig, n_turbo_iter: int = 8):
+    def __init__(self, cfg: CellConfig, n_turbo_iter: int = 8,
+                 tm: int = 1, n_tx: int = 2):
         self.cfg = cfg
         ns = 2 * cfg.subframe
         self.codec = DlschCodec(DlschConfig(
@@ -52,8 +75,22 @@ class UeRx:
             pdsch_cinit(cfg.rnti, 0, ns, cfg.n_id_cell), self.codec.cfg.G)
         self.pdcch_scr = pdcch_scramble_seq(cfg.n_id_cell, ns,
                                             self.crm.n_cce * BITS_PER_CCE)
-        self.candidates = search_space_candidates(self.crm.n_cce)
-        self.dci_len = dci_format1a_size(cfg.n_rb)
+        # Multi-size blind search (dci_decoding_procedure, dci.c:2788):
+        # the 0/1A size runs over the COMMON + UE-specific spaces; the
+        # TM-specific format's size over the UE-specific space only.
+        n_cce = self.crm.n_cce
+        common = common_search_candidates(n_cce)
+        uespec = ue_search_candidates(n_cce, cfg.rnti, cfg.subframe)
+        both = common + [c for c in uespec if c not in common]
+        size_1a = dci_format1a_size(cfg.n_rb, tdd=cfg.tdd)
+        self.size_hyps = [("1a", size_1a, both)]
+        fmt, size_tm = tm_ue_format(tm, cfg.n_rb, n_tx)
+        if size_tm != size_1a:
+            self.size_hyps.append((fmt, size_tm, uespec))
+        self.tm = tm
+        # back-compat attrs (fullsim drives the 1A hypothesis directly)
+        self.candidates = both
+        self.dci_len = size_1a
         self.phich_sc = phich_reg_positions(cfg.n_rb, cfg.n_id_cell,
                                             cfg.n_phich_groups)
         fp = self.gm.fp
@@ -88,11 +125,15 @@ class UeRx:
         cfi_hat, _ = cfi_decode(
             eq_llr(crm.pcfich_sym, crm.pcfich_bin, crm.pcfich_sc) * sgn)
 
-        # ---- PDCCH blind DCI search --------------------------------------
+        # ---- PDCCH blind DCI search (all size hypotheses) ----------------
         sgn_p = jnp.asarray(1.0 - 2.0 * self.pdcch_scr.astype(np.float32))
         llr_pdcch = eq_llr(crm.pdcch_sym, crm.pdcch_bin, crm.pdcch_sc)
-        found, payload, _ = dci_blind_decode(
-            llr_pdcch * sgn_p, self.dci_len, cfg.rnti, self.candidates)
+        dcis = {}
+        for fmt, size, cands in self.size_hyps:
+            f, p, _ = dci_blind_decode(llr_pdcch * sgn_p, size, cfg.rnti,
+                                       cands)
+            dcis[fmt] = (f, p)
+        found, payload = dcis["1a"]
 
         # ---- PHICH (group 0, sequence 0) ---------------------------------
         yp = rgrid[:, 0, jnp.asarray(self.phich_bin[0])]
@@ -111,5 +152,5 @@ class UeRx:
         tb, tb_ok, _ = self.codec.decode(llr)
 
         return dict(cfi_hat=cfi_hat, dci_found=found, dci_payload=payload,
-                    tb=tb, tb_ok=tb_ok, ack=found & tb_ok,
+                    dci=dcis, tb=tb, tb_ok=tb_ok, ack=found & tb_ok,
                     phich_ack=phich_ack, meas=meas)

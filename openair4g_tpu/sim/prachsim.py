@@ -43,6 +43,9 @@ class PrachsimConfig:
     fmt: int = 0               # preamble format 0-4 (4 -> N_ZC = 139)
     high_speed: bool = False   # restricted cyclic-shift set
     time_domain: bool = False  # cross the real sample-stream front end
+    cfo_hz: float = 0.0        # carrier/Doppler offset applied on the
+    #   SAMPLE STREAM (time_domain only) — the high-speed axis the
+    #   restricted set exists for (36.211 §5.7.2 high-speed flag)
     n_fft: int = 512           # fs = n_fft * 15 kHz (512 = 5 MHz)
     n_ra_prb: int = 0
     n_rb_ul: int = 25
@@ -89,6 +92,10 @@ class Prachsim:
                 s = prach_time_generate(xf, cfg.n_fft, cfg.fmt,
                                         cfg.n_ra_prb, cfg.n_rb_ul)[0]
                 s = jnp.roll(s, (dly * spz).astype(jnp.int32))
+                if cfg.cfo_hz:
+                    fs = cfg.n_fft * 15000.0
+                    t = jnp.arange(s.shape[-1]) / fs
+                    s = s * jnp.exp(2j * jnp.pi * cfg.cfo_hz * t)
                 noise = jax.random.normal(kn, s.shape + (2,)) \
                     * jnp.sqrt(n0 / 2)
                 return s + noise[..., 0] + 1j * noise[..., 1], v, dly

@@ -72,7 +72,7 @@ class TddFrameSim:
             cell = CellConfig(n_rb=cfg.n_rb, n_id_cell=cfg.n_id_cell,
                               n_pdcch=cfg.n_pdcch, rnti=cfg.rnti,
                               rb_start=0, n_prb=cfg.n_rb, mcs=cfg.mcs_dl,
-                              subframe=sf)
+                              subframe=sf, tdd=True)
             self._dl[sf] = (EnbTx(cell), UeRx(cell,
                                               n_turbo_iter=cfg.n_turbo_iter))
         return self._dl[sf]
@@ -133,12 +133,28 @@ class TddFrameSim:
         log = []
         dl_ok = dl_tot = ul_ok = ul_tot = 0
         srs_snr = None
+        # TDD DAI HARQ bookkeeping (36.213 §7.3): the eNB counts DL
+        # assignments V_DAI into each TDD DCI; the UE cross-checks its
+        # decode count against the received DAI to DETECT missed
+        # assignments before bundling its ACKs (the reference's
+        # *_TDD_* DCI structs + phy_procedures ACK/NAK bundling).
+        from ..phy.pdcch import pack_dci_format1a, unpack_dci_format1a
+        v_dai = 0                       # eNB-side assignment counter
+        dec_count = np.zeros(B, np.int64)   # UE decodes so far
+        dai_miss = np.zeros(B, bool)        # UE detected a missed DCI
+        ack_bundle = np.ones(B, bool)       # AND of per-assignment ACKs
 
         for sf in range(10):
             d = self.pattern[sf]
             keys = jnp.asarray(host_keys(seed, B, stream=sf))
             if d == "D":
                 enb, ue = self._dl_pair(sf)
+                # eNB: this assignment's DAI rides the TDD format-1A DCI
+                v_dai += 1
+                enb.set_dci_payload(pack_dci_format1a(
+                    cfg.n_rb, rb_start=0, n_prb=cfg.n_rb, mcs=cfg.mcs_dl,
+                    harq_pid=sf & 7, ndi=1, rv=0, tdd=True,
+                    dai=(v_dai - 1) & 3))
                 tb = jnp.asarray(
                     rng.integers(0, 2, (B, ue.codec.cfg.tbs)), jnp.int32)
                 e = scramble_bits(ue.codec.encode(tb), ue.scr_seq)
@@ -147,7 +163,17 @@ class TddFrameSim:
                 rx = self._awgn(t, n0, keys)
                 out = ue.receive(ofdm.ofdm_demodulate(rx, enb.fp), n0,
                                  jnp.asarray(ue.make_wiener(n0)))
-                ok = np.asarray(out["tb_ok"] & out["dci_found"])
+                found = np.asarray(out["dci_found"])
+                payload = np.asarray(out["dci_payload"])
+                ok = np.asarray(out["tb_ok"]) & found
+                # UE DAI check: decoded DAI must equal its own count mod 4
+                for i in np.nonzero(found)[0]:
+                    dai_rx = unpack_dci_format1a(
+                        payload[i], cfg.n_rb, tdd=True)["dai"]
+                    if dai_rx != (dec_count[i] & 3):
+                        dai_miss[i] = True      # a DCI was missed earlier
+                    dec_count[i] += 1
+                ack_bundle &= ok
                 dl_ok += int(ok.sum())
                 dl_tot += B
                 log.append((sf, "D", "enb_tx+ue_rx"))
@@ -179,10 +205,17 @@ class TddFrameSim:
                         self.srs)
                     srs_snr = float(np.asarray(snr_wb).mean())
                 log.append((sf, "S", f"dwpts{self.dwpts}+uppts{self.uppts}"))
+        # a trial that decoded fewer assignments than the eNB sent has
+        # missed at least the LAST one too (no later DAI to expose it):
+        # bundled ACK is withheld (DTX) exactly as 36.213 §7.3 intends
+        dai_miss |= dec_count < v_dai
         return dict(dl_ok=dl_ok, dl_tot=dl_tot, ul_ok=ul_ok, ul_tot=ul_tot,
                     srs=srs_snr, log=log,
                     dl_bler=1 - dl_ok / max(dl_tot, 1),
-                    ul_bler=1 - ul_ok / max(ul_tot, 1))
+                    ul_bler=1 - ul_ok / max(ul_tot, 1),
+                    n_dl_assignments=v_dai,
+                    dai_miss=dai_miss.copy(),
+                    ack_bundle=(ack_bundle & ~dai_miss).copy())
 
     @staticmethod
     def _awgn(t, n0, keys):

@@ -37,7 +37,8 @@ from ..ops.uci import (UciConfig, make_uci_maps, uci_multiplex,
                        uci1_symbols, uci2_symbols, uci1_decode, uci2_decode)
 from ..tables.tbs import get_TBS_UL, get_Qm_ul
 from ..utils.rng import host_keys
-from .channels import ChannelModel, apply_channel_bins
+from .channels import (ChannelModel, apply_channel_bins,
+                       apply_channel_time, fir_freq_response)
 
 
 @dataclass(frozen=True)
@@ -64,6 +65,11 @@ class UlsimConfig:
     hopping_bits: int | None = None
     n_sb: int = 1
     n_rb_ho: int = 0
+    time_domain_channel: bool = False   # convolve the SC-FDMA sample
+    #   stream with the band-limited tap FIR (the reference's
+    #   multipath_channel path ulsim.c:1202) instead of the
+    #   per-subcarrier multiply; carries real ISI beyond the CP.
+    #   Estimated-CE only (the estimator sees the same DMRS either way).
 
 
 class Ulsim:
@@ -227,7 +233,12 @@ class Ulsim:
             grid = pusch_fill_grid_x(x, self.pm, self.dmrs)
             taps = self.chan.draw_taps(splits[:, 2 + 2 * rnd], B)
             H = self.chan.freq_response_at(taps, self.f_idx)   # [B, M]
-            if self.pm.hopped:
+            if cfg.time_domain_channel:
+                assert not self.pm.hopped and not cfg.perfect_ce, \
+                    "time-FIR path: estimated CE, no hopping"
+                t = ofdm.ofdm_modulate(grid, self.fp)          # clean wave
+                t = apply_channel_time(t, self.chan, taps)
+            elif self.pm.hopped:
                 # per-slot channel application: slot 1 sits at the
                 # hopped PRBs, so it sees the channel there
                 H2 = self.chan.freq_response_at(taps, self.f_idx2)
@@ -239,10 +250,11 @@ class Ulsim:
                                         bins2.astype(np.int32),
                                         self.fp.n_fft)
                 grid = jnp.concatenate([g0, g1], axis=1)
+                t = ofdm.ofdm_modulate(grid, self.fp)
             else:
                 grid = apply_channel_bins(grid, H, self.pm.sc_bins,
                                           self.fp.n_fft)
-            t = ofdm.ofdm_modulate(grid, self.fp)
+                t = ofdm.ofdm_modulate(grid, self.fp)
             nr = jax.vmap(lambda k: jax.random.normal(
                 k, t.shape[1:] + (2,)))(splits[:, 3 + 2 * rnd])
             rx = t + jnp.sqrt(n0 / 2) * (nr[..., 0] + 1j * nr[..., 1])

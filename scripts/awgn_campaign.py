@@ -92,20 +92,21 @@ def run_one(mcs: int, n_trials: int):
 
     start = round(ref_snr[0] - GRID_EXTEND_DB, 1)
     grid = np.round(np.arange(start, ref_snr[-1] + STEP_DB / 2, STEP_DB), 2)
-    rows = []          # (snr, err0, trials0)
+    rows = []          # (snr, err0, trials0, dci_err)
     t_begin = time.time()
     zero_streak = 0
     tail_trials = TAIL_TRIALS if n_trials >= 2048 else n_trials
     for s in grid:
         errs, reach = sim.run_snr(float(s), n_trials)
-        e, t = int(errs[0]), int(reach[0])
+        e, t, dc = int(errs[0]), int(reach[0]), int(sim.dci_miss)
         if t and e / t < TAIL_THRESH and n_trials < tail_trials:
             errs2, reach2 = sim.run_snr(float(s), tail_trials - n_trials,
                                         seed=1)
             e += int(errs2[0]); t += int(reach2[0])
-        rows.append((float(s), e, t))
-        print(f"mcs{mcs} SNR {s:+6.2f}: {e}/{t} = {e/max(t,1):.4f}",
-              flush=True)
+            dc += int(sim.dci_miss)
+        rows.append((float(s), e, t, dc))
+        print(f"mcs{mcs} SNR {s:+6.2f}: {e}/{t} = {e/max(t,1):.4f} "
+              f"dci_err {dc}", flush=True)
         zero_streak = zero_streak + 1 if e == 0 else 0
         if zero_streak >= 2:
             break
@@ -115,8 +116,9 @@ def run_one(mcs: int, n_trials: int):
     with open(os.path.join(OUT_DIR, f"mcs{mcs}.csv"), "w") as f:
         f.write("SNR; MCS; TBS; rate; err0; trials0; err1; trials1; "
                 "err2; trials2; err3; trials3; dci_err\n")
-        for s, e, t in rows:
-            f.write(f"{s:.6f};{mcs};{tbs};{tbs/G:.6f};{e};{t};0;0;0;0;0;0;0\n")
+        for s, e, t, dc in rows:
+            f.write(f"{s:.6f};{mcs};{tbs};{tbs/G:.6f};{e};{t};"
+                    f"0;0;0;0;0;0;{dc}\n")
 
     snrs = [r[0] for r in rows]
     blers = [r[1] / max(r[2], 1) for r in rows]

@@ -115,3 +115,14 @@ def test_ulsim_harq_gain():
     errs, reach = sim.run_snr(6.0, 64)   # ~3-4 dB below 16QAM waterfall
     assert errs[0] > 0.5 * reach[0]
     assert errs[2] < 0.2 * reach[0]
+
+
+def test_ulsim_time_fir_channel_decodes():
+    """The sample-stream FIR channel path (the reference's
+    multipath_channel, ulsim.c:1202) carries PUSCH end to end with
+    estimated CE."""
+    from openair4g_tpu.sim.ulsim import Ulsim, UlsimConfig
+    sim = Ulsim(UlsimConfig(mcs=10, n_rb=25, channel="EVA", batch=16,
+                            n_turbo_iter=4, time_domain_channel=True))
+    errs, reach = sim.run_snr(18.0, 16)
+    assert errs[0] <= 1, (errs, reach)
