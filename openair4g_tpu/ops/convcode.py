@@ -117,20 +117,21 @@ def viterbi_decode(llrs, K: int, n_wrap: int = 3):
     middle copy are kept, so metrics have converged from any initial state
     (reference decodes the frame twice for the same reason).
     """
-    pred, pred_u, pred_out = _pred_tables()
-    pred_t = jnp.asarray(pred)            # [64, 2]
+    _, _, pred_out = _pred_tables()
     sign = jnp.asarray(1 - 2 * pred_out.astype(np.float32))   # [64,2,3]
-    u_of_state = jnp.asarray(pred_u.astype(np.int8))          # [64]
 
     B = llrs.shape[0]
     x = jnp.tile(llrs, (1, 1, n_wrap))                  # [B, 3, n_wrap*K]
     xs = jnp.moveaxis(x, -1, 0).reshape(n_wrap * K, B, 3)
 
     def acs(metric, l3):
-        # metric [B, 64]; l3 [B, 3]
-        # branch metric for entering s' from predecessor j:
+        # metric [B, 64]; l3 [B, 3]. Shift-register trellis: the two
+        # predecessors of s' are 2*(s'&31)+j, so the pred-metric tensor
+        # is a reshape-to-pairs + tile — no gather inside the scan
+        # (round-5 perf: per-step gathers dominated the blind decode).
         bm = jnp.einsum("bc,sjc->bsj", l3, sign)         # [B, 64, 2]
-        cand = metric[:, pred_t] + bm                    # [B, 64, 2]
+        pairs = metric.reshape(B, 32, 2)                 # m[2i], m[2i+1]
+        cand = jnp.tile(pairs, (1, 2, 1)) + bm           # [B, 64, 2]
         choice = jnp.argmax(cand, axis=-1)               # [B, 64]
         new = jnp.max(cand, axis=-1)
         new = new - jnp.max(new, axis=-1, keepdims=True)
@@ -139,12 +140,17 @@ def viterbi_decode(llrs, K: int, n_wrap: int = 3):
     m0 = jnp.zeros((B, N_STATES), jnp.float32)
     mfin, choices = lax.scan(acs, m0, xs)                # choices [T, B, 64]
 
-    # Traceback from the best final state through all wraps.
+    # Traceback from the best final state through all wraps — all
+    # arithmetic on a one-hot state vector (u = s'>>5, prev =
+    # 2*(s'&31)+j; the only "lookup" is a 64-wide dot with the one-hot).
+    iota64 = jnp.arange(N_STATES, dtype=jnp.int32)
+
     def back(state, ch):
-        # state [B]; ch [B, 64]
-        j = jnp.take_along_axis(ch, state[:, None], axis=-1)[:, 0]
-        u = u_of_state[state]
-        prev = pred_t[state, j.astype(jnp.int32)]
+        # state [B] int32; ch [B, 64] int8
+        onehot = (state[:, None] == iota64[None, :])
+        j = jnp.sum(jnp.where(onehot, ch.astype(jnp.int32), 0), axis=-1)
+        u = (state >> 5).astype(jnp.int8)
+        prev = 2 * (state & 31) + j
         return prev, u
 
     s_best = jnp.argmax(mfin, axis=-1).astype(jnp.int32)

@@ -22,13 +22,36 @@ from ..tables.modulation import mod_table
 
 
 def map_symbols(bits, Qm: int):
-    """bits [B, E] {0,1} int -> complex symbols [B, E/Qm] via table gather."""
+    """bits [B, E] {0,1} int -> complex symbols [B, E/Qm].
+
+    Closed-form Gray/PAM arithmetic instead of a constellation-table
+    gather (36.211 Table 7.1.x separable mapping: per axis,
+    QPSK 1; 16QAM 2-(1-2b); 64QAM 4-(1-2b)(2-(1-2b')); all times the
+    sign bit) — a [B, E] gather from even a 64-entry table costs ~13 ms
+    at the 20 MHz flagship batch on TPU while these few VPU ops fuse
+    into the surrounding program for free. Bit-exact vs tables.modulation
+    (tests/test_chain).
+    """
     B, E = bits.shape
     assert E % Qm == 0
-    weights = jnp.asarray(1 << np.arange(Qm - 1, -1, -1), bits.dtype)
-    idx = jnp.sum(bits.reshape(B, E // Qm, Qm) * weights, axis=-1)
-    table = jnp.asarray(mod_table(Qm))
-    return table[idx]
+    b = bits.reshape(B, E // Qm, Qm).astype(jnp.float32)
+    s = 1.0 - 2.0 * b                       # (1-2b) per position
+    if Qm == 2:
+        amp_i = amp_q = 1.0
+        norm = np.sqrt(2.0)
+    elif Qm == 4:
+        amp_i = 2.0 - s[..., 2]
+        amp_q = 2.0 - s[..., 3]
+        norm = np.sqrt(10.0)
+    elif Qm == 6:
+        amp_i = 4.0 - s[..., 2] * (2.0 - s[..., 4])
+        amp_q = 4.0 - s[..., 3] * (2.0 - s[..., 5])
+        norm = np.sqrt(42.0)
+    else:
+        raise ValueError(f"Qm={Qm}")
+    re = s[..., 0] * amp_i / norm
+    im = s[..., 1] * amp_q / norm
+    return (re + 1j * im).astype(jnp.complex64)
 
 
 @functools.lru_cache(maxsize=None)

@@ -209,7 +209,8 @@ def turbo_encode_device(bits, pi: np.ndarray):
     """
     B, K = bits.shape
     pi = jnp.asarray(pi)
-    bits2 = bits[:, pi]
+    bits2 = bits[:, pi]      # int gathers lower fine on TPU (measured r5;
+    #   the residue-matmul _permute alternative was 1.5 ms SLOWER here)
     z1f, s1 = _rsc_encode_scan(bits)
     z2f, s2 = _rsc_encode_scan(bits2)
     tx1, tz1 = _tails(s1)
@@ -329,9 +330,22 @@ def _perm_factors(K: int, inverse: bool):
     return cls_src.astype(np.int32), Arow.astype(np.float32)
 
 
-def _permute(x, K: int, inverse: bool):
-    if jax.default_backend() == "cpu":
-        # CPU: gathers are cheap, matmuls are not
+# K values where the residue-factorized matmul permute measured FASTER
+# than the plain gather on the current TPU toolchain (r5 A/B: 6144 is
+# matmul-bound 236 vs 207 Mbit/s fixed-8; 5632 is gather-bound 355 vs
+# 316 Mbit/s fixed-4). Everything else defaults to the gather.
+_PERMUTE_MATMUL_KS = frozenset({6144})
+
+
+def _permute(x, K: int, inverse: bool, force_matmul: bool | None = None):
+    """QPP (de)interleave: plain static gather or the residue-factorized
+    one-hot matmul, chosen per K from on-chip A/B measurements (the
+    toolchain's gather lowering improved since round 4 — neither wins
+    everywhere)."""
+    if force_matmul is None:
+        force_matmul = K in _PERMUTE_MATMUL_KS \
+            and jax.default_backend() != "cpu"
+    if not force_matmul:
         pi = qpp_interleaver(K)
         if inverse:
             idx = np.empty(K, np.int32)
@@ -492,11 +506,11 @@ def _use_pallas() -> bool:
 def _parity_prep_dispatch(lp, W: int, U: int):
     """Hoistable parity preparation: the parity streams are invariant
     across turbo iterations, so their window framing runs ONCE before
-    the iteration scan (turbo_pallas.prep_parity; XLA falls back to the
-    raw tensor — its framing stays inside _half_iteration)."""
+    the iteration scan (turbo_pallas.prep_parity_v2; XLA falls back to
+    the raw tensor — its framing stays inside _half_iteration)."""
     if _use_pallas():
-        from .turbo_pallas import prep_parity
-        return ("pallas",) + prep_parity(lp, W, U)
+        from .turbo_pallas import prep_parity_v2
+        return ("pallas_v2",) + prep_parity_v2(lp, W, U)
     return ("xla", lp)
 
 
@@ -505,6 +519,9 @@ def _half_iteration_dispatch(lin, prep, W: int, U: int):
     ~1.6x the XLA scan); the portable XLA path on CPU (tests / oracle).
     Set OPENAIR4G_NO_PALLAS=1 to force the XLA path everywhere.
     `prep` comes from _parity_prep_dispatch."""
+    if prep[0] == "pallas_v2":
+        from .turbo_pallas import half_iteration_pallas_v2
+        return half_iteration_pallas_v2(lin, prep[1:], W, U)
     if prep[0] == "pallas":
         from .turbo_pallas import half_iteration_pallas_prepped
         return half_iteration_pallas_prepped(lin, prep[1], prep[2], W, U)

@@ -200,3 +200,175 @@ def half_iteration_pallas_prepped(lin, gpf, gpb, W: int, U: int,
 def half_iteration_pallas(lin, lp, W: int, U: int, interpret: bool = False):
     gpf, gpb = prep_parity(lp, W, U)
     return half_iteration_pallas_prepped(lin, gpf, gpb, W, U, interpret)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: t-major framing without the fwd/bwd window-replicated builds.
+# v1 materializes FOUR [T=W+U, L] transposed arrays per half-iteration
+# (fwd + reversed-bwd for gu, same for gp — ~17 MB of relayouts each
+# iteration at flagship shapes, the round-4 "Leads" item). v2 keeps ONE
+# t-major [W, L] array per stream; the U warm-up rows for the forward
+# sweep are the previous window's tail = a single-lane roll (windows of
+# one block are adjacent lanes), and the backward sweep's tail warm-up is
+# the next window's head = the opposite roll, with win0/win_last lanes
+# masked (window 0 is exact-started, the last window ends in the forced
+# state-0 pad). The backward main sweep reads the SAME [W, L] rows in
+# reverse index order inside the kernel — no reversed copy exists at all.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_v2(W: int, U: int):
+    R = _pick_unroll(W + U, U)
+    take = lambda x, i: jnp.take_along_axis(x, i, axis=0)
+
+    def kernel(gum_ref, guw_ref, gut_ref, gpm_ref, gpw_ref, gpt_ref,
+               win0_ref, out_ref, beta_scr):
+        idxn0, idxn1, idxp0, idxp1, sz0, su_p, sz_p, exact0 = _consts()
+        win0 = win0_ref[0, :] > 0.5
+
+        def norm(x):
+            return x - jnp.max(x, axis=0, keepdims=True)
+
+        def bstep(beta, gu_row, gp_row):
+            gu = gu_row[None, :]
+            gp_term = sz0 * gp_row[None, :]
+            c0 = take(beta, idxn0) + gu + gp_term
+            c1 = take(beta, idxn1) - gu - gp_term
+            return jnp.maximum(c0, c1)
+
+        # ---- backward: tail warm rows (reversed), then main reversed ----
+        def bwarm(i, beta):
+            for r in range(R):
+                t = U - 1 - (i * R + r)
+                beta = bstep(beta, gut_ref[t, :], gpt_ref[t, :])
+            return norm(beta)
+
+        beta = jax.lax.fori_loop(0, U // R, bwarm,
+                                 jnp.zeros((8, LANES), jnp.float32))
+        beta_scr[W] = beta
+
+        def bmain(i, beta):
+            for r in range(R):
+                t = W - 1 - (i * R + r)
+                beta = bstep(beta, gum_ref[t, :], gpm_ref[t, :])
+                beta_scr[t] = beta
+            return norm(beta)
+
+        jax.lax.fori_loop(0, W // R, bmain, beta)
+
+        # ---- forward warm-up --------------------------------------------
+        def astep(alpha, gu_row, gp_row):
+            base = su_p * gu_row[None, :] + sz_p * gp_row[None, :]
+            return jnp.maximum(take(alpha, idxp0) + base,
+                               take(alpha, idxp1) - base)
+
+        def fwarm(i, alpha):
+            for r in range(R):
+                t = i * R + r
+                alpha = astep(alpha, guw_ref[t, :], gpw_ref[t, :])
+            return norm(alpha)
+
+        alpha0 = jax.lax.fori_loop(0, U // R, fwarm,
+                                   jnp.zeros((8, LANES), jnp.float32))
+        alpha0 = jnp.where(win0[None, :], exact0, alpha0)
+
+        # ---- forward work + fused LLR -----------------------------------
+        def work(i, alpha):
+            for r in range(R):
+                tau = i * R + r
+                gu_n = gum_ref[tau, :]
+                gp_term = sz0 * gpm_ref[tau, :][None, :]
+                beta_next = beta_scr[tau + 1]
+                m0 = jnp.max(alpha + gp_term + take(beta_next, idxn0),
+                             axis=0)
+                m1 = jnp.max(alpha - gp_term + take(beta_next, idxn1),
+                             axis=0)
+                out_ref[tau, :] = (m0 + gu_n) - (m1 - gu_n)
+                alpha = astep(alpha, gum_ref[tau, :], gpm_ref[tau, :])
+            return norm(alpha)
+
+        jax.lax.fori_loop(0, W // R, work, alpha0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_v2(W: int, U: int, n_tiles: int, interpret: bool = False):
+    kernel = _make_kernel_v2(W, U)
+    L = n_tiles * LANES
+    spec_W = pl.BlockSpec((W, LANES), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_U = pl.BlockSpec((U, LANES), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_1 = pl.BlockSpec((1, LANES), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[spec_W, spec_U, spec_U, spec_W, spec_U, spec_U, spec_1],
+        out_specs=pl.BlockSpec((W, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W + 1, 8, LANES), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _tmajor_frames(g, W: int, U: int, win0_row, winlast_row,
+                   tail_fill: float):
+    """[B, N] -> (main [W, L0], fwd-warm [U, L0], bwd-warm [U, L0])."""
+    B, N = g.shape
+    n_w = N // W
+    gm = jnp.moveaxis(g.reshape(B, n_w, W), -1, 0).reshape(W, B * n_w)
+    # fwd warm rows t: position wW - U + t = main row W-U+t of window w-1
+    gw = jnp.roll(gm[W - U:], 1, axis=1)
+    gw = jnp.where(win0_row, 0.0, gw)
+    # bwd tail rows t: position (w+1)W + t = main row t of window w+1
+    gt = jnp.roll(gm[:U], -1, axis=1)
+    gt = jnp.where(winlast_row, tail_fill, gt)
+    return gm, gw, gt
+
+
+def _lane_masks(B: int, n_w: int):
+    win0 = np.tile(np.arange(n_w) == 0, B)[None, :]
+    winlast = np.tile(np.arange(n_w) == n_w - 1, B)[None, :]
+    return win0, winlast
+
+
+def _pad_tiles(x, L0: int, fill: float = 0.0):
+    n_tiles = -(-L0 // LANES)
+    pad = n_tiles * LANES - L0
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+    return x, n_tiles
+
+
+def prep_parity_v2(lp, W: int, U: int):
+    """Hoisted parity framing for the v2 kernel: (gpm, gpw, gpt)."""
+    B, N = lp.shape
+    n_w = N // W
+    win0, winlast = _lane_masks(B, n_w)
+    gpm, gpw, gpt = _tmajor_frames(0.5 * lp, W, U, jnp.asarray(win0),
+                                   jnp.asarray(winlast), _t.BIG)
+    L0 = B * n_w
+    return (_pad_tiles(gpm, L0)[0], _pad_tiles(gpw, L0)[0],
+            _pad_tiles(gpt, L0, _t.BIG)[0])
+
+
+def half_iteration_pallas_v2(lin, prep, W: int, U: int,
+                             interpret: bool = False):
+    """v2 half-iteration: prep = prep_parity_v2 output."""
+    gpm, gpw, gpt = prep
+    B, N = lin.shape
+    n_w = N // W
+    L0 = B * n_w
+    win0, winlast = _lane_masks(B, n_w)
+    gum, guw, gut = _tmajor_frames(0.5 * lin, W, U, jnp.asarray(win0),
+                                   jnp.asarray(winlast), _t.BIG)
+    gum, n_tiles = _pad_tiles(gum, L0)
+    guw, _ = _pad_tiles(guw, L0)
+    gut, _ = _pad_tiles(gut, L0, _t.BIG)
+    w0, _ = _pad_tiles(jnp.asarray(win0.astype(np.float32)), L0)
+    out = _build_call_v2(W, U, n_tiles, interpret)(
+        gum, guw, gut, gpm, gpw, gpt, w0)
+    out = out[:, :L0].reshape(W, B, n_w)
+    return jnp.moveaxis(out, 0, 2).reshape(B, N)

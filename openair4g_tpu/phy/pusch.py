@@ -41,7 +41,7 @@ class UlschConfig:
     normal_cp: bool = True
     rv: int = 0
     n_turbo_iter: int = 8
-    decoder_window: int = 96
+    decoder_window: int | None = None   # None = auto (pdsch.py note)
     decoder_warmup: int = 24
     g_override: int | None = None   # set when UCI steals REs (ops/uci.py)
 

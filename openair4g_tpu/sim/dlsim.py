@@ -384,16 +384,20 @@ class DlsimFading:
         data_sc = jnp.asarray(self.gm.data_sc)
         if self.pdcch_on:
             crm = self.crm
-            p_sym = jnp.asarray(crm.pdcch_sym)
-            p_sc = jnp.asarray(crm.pdcch_sc)
-            p_bin = jnp.asarray(crm.pdcch_bin)
-            c_sym = jnp.asarray(crm.pcfich_sym)
-            c_bin = jnp.asarray(crm.pcfich_bin)
-            pd_syms = jnp.asarray(self.pdcch_syms)
-            pc_syms = jnp.asarray(self.pcfich_syms)
-            pd_sgn = jnp.asarray(
+            p_sym = np.asarray(crm.pdcch_sym)
+            p_sc = np.asarray(crm.pdcch_sc)
+            p_bin = np.asarray(crm.pdcch_bin)
+            c_sym = np.asarray(crm.pcfich_sym)
+            c_bin = np.asarray(crm.pcfich_bin)
+            # complex constants must materialize INSIDE jit (axon tunnel
+            # cannot transfer complex dtypes eagerly — ROUND_NOTES trap)
+            pd_syms_f = np.stack([self.pdcch_syms.real,
+                                  self.pdcch_syms.imag], -1)
+            pc_syms_f = np.stack([self.pcfich_syms.real,
+                                  self.pcfich_syms.imag], -1)
+            pd_sgn = np.asarray(
                 1.0 - 2.0 * self.pdcch_scr.astype(np.float32))
-            pd_expected = jnp.asarray(self.dci_payload.astype(np.int32))
+            pd_expected = np.asarray(self.dci_payload.astype(np.int32))
 
         def f(d_flats, k_ch, k_noise, n0, wiener_stack, ev,
               w_soft=None, taps_prev=None):
@@ -403,9 +407,15 @@ class DlsimFading:
             sym = map_symbols(e, Qm)
             grid = fill_grid(sym.astype(jnp.complex64), self.gm)
             if self.pdcch_on:
-                grid = grid.at[:, p_sym, p_bin].set(
+                pdc = jnp.asarray(pd_syms_f)
+                pd_syms = pdc[..., 0] + 1j * pdc[..., 1]
+                pcc = jnp.asarray(pc_syms_f)
+                pc_syms = pcc[..., 0] + 1j * pcc[..., 1]
+                grid = grid.at[:, jnp.asarray(p_sym),
+                               jnp.asarray(p_bin)].set(
                     jnp.broadcast_to(pd_syms, (B, len(self.pdcch_syms))))
-                grid = grid.at[:, c_sym, c_bin].set(
+                grid = grid.at[:, jnp.asarray(c_sym),
+                               jnp.asarray(c_bin)].set(
                     jnp.broadcast_to(pc_syms, (B, 16)))
             # Channel for this round: fresh fade (the reference's
             # hold_channel=0, dlsim.c:2156) or AR(1) Jakes evolution at
@@ -448,10 +458,10 @@ class DlsimFading:
                                     jnp.moveaxis(H_c, 1, -1),
                                     n0, 2).reshape(B, -1)
                     dfound, dbits, _ = dci_blind_decode(
-                        llr_c * pd_sgn, len(self.dci_payload), cfg.rnti,
-                        self.dci_cands)
-                    dci_ok = dfound & jnp.all(dbits == pd_expected,
-                                              axis=-1)
+                        llr_c * jnp.asarray(pd_sgn),
+                        len(self.dci_payload), cfg.rnti, self.dci_cands)
+                    dci_ok = dfound & jnp.all(
+                        dbits == jnp.asarray(pd_expected), axis=-1)
                     llr = llr * dci_ok[:, None]
                 else:
                     dci_ok = jnp.ones(B, bool)
@@ -513,9 +523,10 @@ class DlsimFading:
                                 jnp.moveaxis(H_c, 1, -1),
                                 n0, 2).reshape(B, -1)
                 dfound, dbits, _ = dci_blind_decode(
-                    llr_c * pd_sgn, len(self.dci_payload), cfg.rnti,
-                    self.dci_cands)
-                dci_ok = dfound & jnp.all(dbits == pd_expected, axis=-1)
+                    llr_c * jnp.asarray(pd_sgn), len(self.dci_payload),
+                    cfg.rnti, self.dci_cands)
+                dci_ok = dfound & jnp.all(
+                    dbits == jnp.asarray(pd_expected), axis=-1)
                 llr = llr * dci_ok[:, None]
             else:
                 dci_ok = jnp.ones(B, bool)
