@@ -23,12 +23,16 @@ LCID_PADDING = 31
 LCID_CONTENTION_RESOLUTION = 28        # 6-byte UE CR Identity
 # UL CEs
 LCID_PHR = 26
+LCID_CQI_REPORT = 25    # in-band aperiodic CSI report (1 byte wideband
+#   CQI). The 36.321 LCID space reserves 25 in this release; the real
+#   carrier is UCI-on-PUSCH (ops/uci.py, bit-exact in sim/ulsim) — this
+#   MAC CE is the capstone's transport for the UE-MEASURED value.
 LCID_SHORT_BSR = 29
 LCID_LONG_BSR = 30
 
 # fixed control-element sizes (no F/L field; 36.321 §6.1.3)
 _CE_SIZES = {LCID_CONTENTION_RESOLUTION: 6, LCID_PHR: 1,
-             LCID_SHORT_BSR: 1, LCID_LONG_BSR: 3}
+             LCID_SHORT_BSR: 1, LCID_LONG_BSR: 3, LCID_CQI_REPORT: 1}
 
 
 def _is_fixed(lcid: int) -> bool:

@@ -70,6 +70,9 @@ class RaProcedure:
     attempts: int = 0
     state: str = "idle"        # idle -> preamble_sent -> rar_ok -> connected
     t_crnti: int | None = None
+    contention_free: bool = False   # dedicated preamble (handover /
+    #   PDCCH order, 36.321 §5.1.1): RAR completes the procedure — no
+    #   Msg3 contention resolution
 
     def send_preamble(self) -> int:
         self.attempts += 1
@@ -81,7 +84,7 @@ class RaProcedure:
         if self.state != "preamble_sent" or rar.rapid != self.preamble:
             return False
         self.t_crnti = rar.t_crnti
-        self.state = "rar_ok"
+        self.state = "connected" if self.contention_free else "rar_ok"
         return True
 
     def on_rar_window_expiry(self) -> str:

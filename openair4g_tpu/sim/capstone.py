@@ -273,12 +273,15 @@ class DlAir:
         grid = enb.data_subframe(syms)
         return np.asarray(ofdm.ofdm_modulate(grid, self.fp))
 
-    def ue_demod(self, t: np.ndarray, rng=None):
-        """One UE's receiver front end: its own AWGN + OFDM demod."""
+    def ue_demod(self, t: np.ndarray, rng=None, n0: float | None = None):
+        """One UE's receiver front end: its own AWGN + OFDM demod.
+        `n0` overrides the cell-wide noise floor (per-UE link budgets in
+        the multi-UE capstone)."""
         rng = self.rng if rng is None else rng
+        n0 = self.n0 if n0 is None else n0
         noise = (rng.standard_normal(t.shape)
                  + 1j * rng.standard_normal(t.shape)) \
-            * np.sqrt(self.n0 / 2)
+            * np.sqrt(n0 / 2)
         return ofdm.ofdm_demodulate(jnp.asarray(t + noise), self.fp)
 
     def transmit(self, subframe: int, pdsch=None, ul_grant_rnti=None):
@@ -449,6 +452,7 @@ class UeStack:
     delivered_ip: list = field(default_factory=list)
     ra_tti: int = 0                 # when the preamble went out
     contention_losses: int = 0
+    meas_cqi: int | None = None     # wideband CQI measured from the grid
 
     def queue_srb1(self, rrc_sdu: bytes) -> None:
         """RRC SDU -> SRB1 PDCP PDU -> RLC-AM tx queue."""
