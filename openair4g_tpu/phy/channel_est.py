@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import functools
 
+import jax
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -287,3 +289,100 @@ def measure_delay_prior(rgrid, gm: GridMap, n0: float,
     p_tap = np.maximum(p_tap - noise_gain, 0.0) / n_ps
     p_tap = np.maximum(p_tap, floor * p_tap.max() + 1e-12)
     return p_tap / p_tap.sum()
+
+
+# --------------------------------------- decision-directed second pass --
+# VERDICT r4 item 4 (EVA test-6 residual): after a first-pass joint
+# estimate, the DETECTED data REs act as a dense pilot field — LS at
+# every data RE, per-subcarrier accumulation, then one MMSE smoothing
+# onto the delay subspace. The reference's estimator has no DD mode;
+# this is the standard second-pass refinement real receivers use to buy
+# back pilot-density loss (here ~0.1-0.2 dB at the 16QAM corpus points).
+
+def qam_hard_slice(x, Qm: int):
+    """Nearest-constellation-point decision on equalized symbols
+    (arithmetic per axis; unit-Es 36.211 constellations)."""
+    import jax.numpy as jnp
+    if Qm == 2:
+        lv = 1.0 / np.sqrt(2.0)
+        return (jnp.sign(x.real) + 1j * jnp.sign(x.imag)) * lv
+    if Qm == 4:
+        lv = 1.0 / np.sqrt(10.0)
+        re = jnp.sign(x.real) * jnp.where(jnp.abs(x.real) > 2 * lv, 3., 1.)
+        im = jnp.sign(x.imag) * jnp.where(jnp.abs(x.imag) > 2 * lv, 3., 1.)
+        return (re + 1j * im) * lv
+    lv = 1.0 / np.sqrt(42.0)
+
+    def axis(a):
+        m = jnp.abs(a) / lv
+        level = jnp.where(m > 6, 7., jnp.where(m > 4, 5.,
+                          jnp.where(m > 2, 3., 1.)))
+        return jnp.sign(a) * level
+    return (axis(x.real) + 1j * axis(x.imag)) * lv
+
+
+@functools.lru_cache(maxsize=None)
+def _dd_smoother_cached(n_rb: int, normal_cp: bool, n0: float,
+                        cnt_key: tuple, prior_key):
+    fp = FrameParms(n_rb=n_rb, normal_cp=normal_cp)
+    d_sc = np.arange(fp.n_sc)
+    L = fp.cp + 2
+    taps = np.arange(L)
+    Fd = np.exp(-2j * np.pi * _signed_freq_idx(fp, d_sc)[:, None]
+                * taps[None, :] / fp.n_fft)
+    P = (_delay_prior(fp) if prior_key is None
+         else np.asarray(prior_key, float))
+    Rhh = (Fd * P) @ Fd.conj().T
+    cnt = np.asarray(cnt_key, float)
+    A = Rhh + np.diag(n0 / np.maximum(cnt, 1e-6))
+    W = Rhh @ np.linalg.inv(A)
+    post = float(np.sum(P)) - np.einsum("kp,kp->k", W, Rhh.conj()).real
+    return (np.stack([W.real, W.imag], -1).astype(np.float32),
+            np.maximum(post, 0.0).astype(np.float32))
+
+
+def make_dd_smoother(gm: GridMap, n0: float, prior=None):
+    """-> (W [n_sc, n_sc, 2] packed smoother over the dense DD LS field,
+    err_var [n_sc] posterior). The per-subcarrier observation count (how
+    many data REs land on each subcarrier) sets the per-sc LS noise."""
+    cnt = np.bincount(gm.data_sc, minlength=gm.fp.n_sc)
+    pr = None if prior is None else tuple(np.asarray(prior, float).tolist())
+    return _dd_smoother_cached(gm.fp.n_rb, gm.fp.normal_cp, float(n0),
+                               tuple(int(c) for c in cnt), pr)
+
+
+def dd_refine(y_data, s_hat, gm: GridMap, smoother, weight=None,
+              rgrid=None, port: int = 0):
+    """Decision-directed refinement: y_data/s_hat [B, n_data] -> H2
+    [B, n_sc] (subframe-static, like the joint estimator).
+
+    Per subcarrier: ls = sum(w y conj(s)) / sum(w |s|^2) over that
+    subcarrier's data REs (w = optional per-RE decision confidence —
+    wrong decisions act as strong noise, so low-confidence REs are
+    soft-erased), plus the error-free PILOT LS observations when
+    `rgrid` is given; then the MMSE smoothing matmul."""
+    import jax.numpy as jnp
+    ids = jnp.asarray(gm.data_sc.astype(np.int32))
+    n_sc = gm.fp.n_sc
+    w = jnp.ones_like(y_data.real) if weight is None else weight
+    num = jax.ops.segment_sum((w * y_data * jnp.conj(s_hat)).T, ids,
+                              num_segments=n_sc).T      # [B, n_sc]
+    den = jax.ops.segment_sum((w * jnp.abs(s_hat) ** 2).T, ids,
+                              num_segments=n_sc).T
+    if rgrid is not None:
+        psym, psc, pbin, pval = _port_pilot_arrays(gm, port)
+        rs = rgrid[:, jnp.asarray(psym.reshape(-1)),
+                   jnp.asarray(pbin.reshape(-1))]
+        pls = rs * jnp.asarray(np.conj(pval.reshape(-1))
+                               .astype(np.complex64))
+        pid = jnp.asarray(psc.reshape(-1).astype(np.int32))
+        # pilots are decision-error free: full weight
+        num = num + jax.ops.segment_sum(pls.T, pid,
+                                        num_segments=n_sc).T
+        den = den + jax.ops.segment_sum(
+            jnp.ones_like(pls.real).T, pid, num_segments=n_sc).T
+    ls = num / jnp.maximum(den, 1e-9)
+    W = smoother[0] if isinstance(smoother, tuple) else smoother
+    W = jnp.asarray(W)
+    Wc = W[..., 0] + 1j * W[..., 1]
+    return jnp.matmul(ls, Wc.T, preferred_element_type=jnp.complex64)

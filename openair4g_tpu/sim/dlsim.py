@@ -166,9 +166,12 @@ class DlsimFadingConfig:
     #   the reference corpus' compressed delay spread (channels.ChannelModel
     #   docstring + VALIDATION.md root-cause note)
     est_mode: str = "interp"      # "interp" (per-pilot-symbol Wiener +
-    #   time interpolation, the reference's high_speed mode) or "joint"
+    #   time interpolation, the reference's high_speed mode), "joint"
     #   (quasi-static 2D LMMSE over all pilot symbols — ~3 dB better
-    #   estimation, physically valid at the corpus 5-70 Hz Dopplers)
+    #   estimation, physically valid at the corpus 5-70 Hz Dopplers) or
+    #   "dd" (joint + a decision-directed second pass: detected data REs
+    #   act as a dense pilot field, channel_est.dd_refine — buys back
+    #   pilot-density loss at the 16QAM corpus points, r5 item 4)
     snr_convention: str = "per_re"  # "per_re" (Es/N0 per data RE) or
     #   "dlsim" (reference dlsim.c:2852 grid-average convention; see
     #   dlsim_snr_offset_db) — use "dlsim" when comparing to the corpus.
@@ -341,6 +344,12 @@ class DlsimFading:
 
     def wiener(self, snr_db: float):
         n0 = 10.0 ** (-snr_db / 10.0)
+        if self.cfg.est_mode == "dd":
+            from ..phy.channel_est import make_dd_smoother
+            self._ensure_prior(snr_db)
+            wj = make_wiener_joint(self.gm, n0, prior=self._prior())
+            wd, _ = make_dd_smoother(self.gm, n0, prior=self._prior())
+            return (jnp.asarray(wj), jnp.asarray(wd))
         if self.cfg.est_mode == "joint":
             self._ensure_prior(snr_db)
             return jnp.asarray(make_wiener_joint(self.gm, n0,
@@ -350,10 +359,16 @@ class DlsimFading:
     def err_var(self, snr_db: float):
         """[n_data] per-RE estimation-error variance (0 for perfect CE /
         interp mode, where the old behavior is preserved)."""
-        if self.cfg.perfect_ce or self.cfg.est_mode != "joint" \
-                or not self.cfg.use_est_err_var:
+        if self.cfg.perfect_ce or not self.cfg.use_est_err_var \
+                or self.cfg.est_mode not in ("joint", "dd"):
             return jnp.zeros(len(self.gm.data_sc), jnp.float32)
         self._ensure_prior(snr_db)
+        if self.cfg.est_mode == "dd":
+            from ..phy.channel_est import make_dd_smoother
+            _, post = make_dd_smoother(self.gm,
+                                       10.0 ** (-snr_db / 10.0),
+                                       prior=self._prior())
+            return jnp.asarray(post[self.gm.data_sc])
         ev = joint_err_var(self.gm, 10.0 ** (-snr_db / 10.0),
                            prior=self._prior())
         return jnp.asarray(ev[self.gm.data_sc])
@@ -494,6 +509,34 @@ class DlsimFading:
             rgrid = ofdm.ofdm_demodulate(rx, self.fp)       # [B*A,nsym,nfft]
             if cfg.perfect_ce:
                 H_data = Hr[:, :, data_sc]                  # [B,A,n_data]
+            elif cfg.est_mode == "dd":
+                from ..phy.channel_est import qam_hard_slice, dd_refine
+                Wj, Wd = wiener_stack
+                H1 = estimate_channel_joint(rgrid, self.gm, Wj)
+                h1 = H1[:, data_sym, data_sc].reshape(B, A, -1)
+                y1 = extract_data_res(rgrid, self.gm).reshape(B, A, -1)
+                # first-pass MRC symbol estimate -> hard decisions
+                num = jnp.sum(jnp.conj(h1) * y1, axis=1)
+                den = jnp.sum(jnp.abs(h1) ** 2, axis=1)
+                x1 = num / jnp.maximum(den, 1e-9)   # ZF: unbiased
+                #   amplitudes (MMSE shrinkage mis-slices the 16QAM ring)
+                s_hat = qam_hard_slice(x1, Qm)
+                # decision confidence: soft-erase REs whose equalized
+                # symbol sits far from the decided point (wrong
+                # decisions act as full-power noise in the LS field)
+                d2 = jnp.abs(x1 - s_hat) ** 2 * den / jnp.maximum(n0, 1e-9)
+                conf = jnp.exp(-0.5 * d2)
+                s_rep = jnp.repeat(s_hat[:, None, :], A, axis=1
+                                   ).reshape(B * A, -1)
+                w_rep = jnp.repeat(conf[:, None, :], A, axis=1
+                                   ).reshape(B * A, -1)
+                H2 = dd_refine(y1.reshape(B * A, -1), s_rep, self.gm,
+                               (Wd, None), weight=w_rep,
+                               rgrid=rgrid)                # [B*A, n_sc]
+                H_hat = jnp.broadcast_to(
+                    H2[:, None, :], (B * A, self.fp.symbols_per_subframe,
+                                     H2.shape[-1]))
+                H_data = H2.reshape(B, A, -1)[:, :, data_sc]
             else:
                 est = (estimate_channel_joint if cfg.est_mode == "joint"
                        else estimate_channel)

@@ -34,6 +34,11 @@ def _force(out):
 
 
 def timed(fn, *args, n=5):
+    """PIPELINED timing (r5: aligned with bench.py's methodology — the
+    axon dispatch floor is ~5 ms/call synced; issuing n calls and
+    forcing only the last amortizes it, which is also how the flagship
+    consumes the decoder). The r4 sync-loop numbers read ~10-20% lower;
+    ROUND_NOTES policy: quote the tracked artifact."""
     _force(fn(*args))                       # compile + settle
     best = float("inf")
     for _ in range(3):
@@ -96,7 +101,12 @@ def main():
     out["crc_check_ms"] = timed(crcf, bits) * 1e3
 
     # first-principles ceilings (peak numbers are platform estimates:
-    # ~200 TFLOP/s bf16 MXU, ~5 TFLOP/s f32 VPU per chip)
+    # ~200 TFLOP/s bf16 MXU, ~5 TFLOP/s f32 VPU per chip). NOTE r5: the
+    # QPP permute is a plain gather at most K (ops/turbo._permute picks
+    # per K), so the MXU series term is an over-charge there; the
+    # combined ceiling is kept for continuity with the r3/r4 artifacts
+    # and is CONSERVATIVE (the true ceiling is higher, the fraction
+    # lower) when the matmul path is active.
     vpu_flops_per_bit = 200 * 2 * n_iter
     mxu_macs_per_bit = 2 * K * n_iter + K
     out["vpu_ceiling_gbps"] = 5e12 / vpu_flops_per_bit / 1e9

@@ -98,3 +98,27 @@ def test_awgn_ladder_anchor(mcs, lo, mid, hi):
         ("mid-knee", errs, reach)
     errs, reach = sim.run_snr(hi, 256)
     assert errs[0] <= reach[0] * 0.12, ("above-knee", errs, reach)
+
+
+@pytest.mark.parametrize("mcs,channel,tdc,lo,mid,hi", [
+    (4, "AWGN", False, -2.6, -1.8, -1.0),
+    (16, "AWGN", False, 7.0, 7.6, 8.3),
+    (10, "EVA", True, 2.0, 7.5, 14.5),
+])
+def test_ul_ladder_anchor(mcs, channel, tdc, lo, mid, hi):
+    """Round-5 UL fidelity ladder anchors (ulsim_campaign.json, chip,
+    2048-8192 trials/point; VALIDATION.md §9). 25 PRB full allocation,
+    estimated DMRS CE; the EVA row runs the TIME-FIR sample-stream
+    channel (the reference's multipath_channel path). Below/mid/above
+    knee with 128-trial margins."""
+    from openair4g_tpu.sim.ulsim import Ulsim, UlsimConfig
+    sim = Ulsim(UlsimConfig(mcs=mcs, n_rb=25, n_rb_alloc=25,
+                            channel=channel, batch=128,
+                            time_domain_channel=tdc))
+    errs, reach = sim.run_snr(lo, 128)
+    assert errs[0] >= reach[0] * 0.7, ("below-knee", errs, reach)
+    errs, reach = sim.run_snr(mid, 128)
+    assert reach[0] * 0.1 <= errs[0] <= reach[0] * 0.9, \
+        ("mid-knee", errs, reach)
+    errs, reach = sim.run_snr(hi, 128)
+    assert errs[0] <= reach[0] * 0.13, ("above-knee", errs, reach)
