@@ -173,11 +173,30 @@ def _bench_ofdm_equalize() -> float:
         x, n0e = mrc_equalize(y[..., None], h[..., None], n0)
         return jnp.sum(jnp.abs(demap_llr(x, n0e, 4))).astype(jnp.float32)
 
+    # ON-DEVICE repeat loop (r4 weak #6: the per-call form bounced
+    # 139-181 Ms/s run to run — tunnel jitter on a ~3 ms program). One
+    # dispatch covers REPS sequentially-dependent repetitions (the next
+    # iteration's keys fold in the previous output, so XLA can neither
+    # reorder nor elide them): ~100 ms of pure device work per timing.
+    REPS = 32
+
+    def rx_front_loop(keys):
+        def body(i, carry):
+            acc, ks = carry
+            out = rx_front(ks)
+            dep = (jnp.abs(out).astype(jnp.int32) & 1) + i
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, dep))(ks)
+            return acc + out, ks
+        acc, _ = jax.lax.fori_loop(
+            0, REPS, body, (jnp.float32(0.0), keys))
+        return acc
+
     from openair4g_tpu.utils.rng import host_keys
-    f = jax.jit(rx_front)
+    f = jax.jit(rx_front_loop)
     dt = _pipeline_best(
-        f, lambda i: (jnp.asarray(host_keys(3, batch, stream=i)),), n_rep=5)
-    return round(batch * fp.samples_per_tti / dt / 1e6, 1)
+        f, lambda i: (jnp.asarray(host_keys(3, batch, stream=i)),),
+        n_rep=2)
+    return round(REPS * batch * fp.samples_per_tti / dt / 1e6, 1)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,8 @@ channel, 4 HARQ rounds with rv cycling, fresh iid channel per round
 (dlsim.c:2156 hold_channel=0), EVA / ETU profiles.
 
 Usage:  python scripts/fading_campaign.py [n_trials] [out.json]
+Env OPENAIR4G_EST_MODE overrides the estimator ("joint" default, "dd" =
+decision-directed second pass, r5 item 4).
 Runs on whatever backend JAX selects (the real TPU chip under axon).
 """
 import json
@@ -68,16 +70,19 @@ def main():
         if name != only:
             continue
         batch = 128 if n_rb == 50 else 256
+        est_mode = os.environ.get("OPENAIR4G_EST_MODE", "joint")
         cfg = DlsimFadingConfig(mcs=mcs, n_rb=n_rb, channel=chan,
                                 n_pdcch_symbols=c, n_rx=2,
                                 n_harq_rounds=4, batch=batch,
-                                snr_convention="dlsim", est_mode="joint")
+                                snr_convention="dlsim",
+                                est_mode=est_mode)
         sim = DlsimFading(cfg)
         t0 = time.time()
         errs, reach = sim.run_snr(snr, n_trials)
         dt = time.time() - t0
         bler = (errs / np.maximum(reach, 1)).tolist()
         results[name] = {
+            "est_mode": est_mode,
             "mcs": mcs, "n_rb": n_rb, "channel": chan, "snr_db": snr,
             "errs": errs.tolist(), "reached": reach.tolist(),
             "bler": bler, "ref_bler": list(ref), "seconds": round(dt, 1),
