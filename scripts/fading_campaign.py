@@ -7,8 +7,11 @@ channel, 4 HARQ rounds with rv cycling, fresh iid channel per round
 (dlsim.c:2156 hold_channel=0), EVA / ETU profiles.
 
 Usage:  python scripts/fading_campaign.py [n_trials] [out.json]
-Env OPENAIR4G_EST_MODE overrides the estimator ("joint" default, "dd" =
-decision-directed second pass, r5 item 4).
+Env OPENAIR4G_EST_MODE overrides the estimator ("dd" default — the
+joint 2D-LMMSE first pass + decision-directed refinement of
+channel_est.dd_refine, the receiver's best non-genie mode and the one
+the corpus artifact records; "joint" = first pass only, r4's receiver,
+kept in fading_campaign_joint.json for the ablation).
 Runs on whatever backend JAX selects (the real TPU chip under axon).
 """
 import json
@@ -47,7 +50,6 @@ def main():
     if only is None:
         # one subprocess per config: the remote TPU compile service caps
         # the accumulated upload size per session (HTTP 413)
-        import os
         import subprocess
         for name, *_ in CORPUS:
             r = subprocess.run(
@@ -70,7 +72,7 @@ def main():
         if name != only:
             continue
         batch = 128 if n_rb == 50 else 256
-        est_mode = os.environ.get("OPENAIR4G_EST_MODE", "joint")
+        est_mode = os.environ.get("OPENAIR4G_EST_MODE", "dd")
         cfg = DlsimFadingConfig(mcs=mcs, n_rb=n_rb, channel=chan,
                                 n_pdcch_symbols=c, n_rx=2,
                                 n_harq_rounds=4, batch=batch,

@@ -97,3 +97,19 @@ def test_measured_delay_prior_tracks_pdp():
     # and the sim runs end-to-end with it
     errs, reach = sim.run_snr(10.0, 16)
     assert reach[0] == 16
+
+
+@pytest.mark.slow
+def test_dd_corpus_anchor():
+    """Round-5 corpus receiver (est_mode='dd'): test-11-shaped point
+    (10 MHz MCS26 EVA 14.6 dB, dlsim convention) must stay at-or-better
+    than the reference's 0.337 within 256-trial noise, and DD must not
+    be worse than the plain joint estimate."""
+    from openair4g_tpu.sim.dlsim import DlsimFading, DlsimFadingConfig
+    common = dict(mcs=26, n_rb=50, channel="EVA", n_pdcch_symbols=2,
+                  n_rx=2, n_harq_rounds=1, batch=128,
+                  snr_convention="dlsim", n_turbo_iter=8)
+    sim = DlsimFading(DlsimFadingConfig(est_mode="dd", **common))
+    errs, reach = sim.run_snr(14.6, 256)
+    bler = errs[0] / max(reach[0], 1)
+    assert bler <= 0.337 + 0.09, (errs, reach)   # ref + 3 sigma
