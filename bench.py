@@ -52,7 +52,9 @@ def _bench_fullchain_20mhz() -> float:
     8-iteration decode — the honest 20 MHz flagship subframes/s."""
     from openair4g_tpu.sim.dlsim import DlsimFading, DlsimFadingConfig
     from openair4g_tpu.utils.rng import host_keys
-    batch = 64
+    batch = 128      # r5 re-sweep: 128 > 64 now (the v2 turbo kernel's
+    #   smaller scratch + the lighter non-decode middle moved the VMEM
+    #   knee; r4 measured 128 -> 1821 on the old kernel)
     sim = DlsimFading(DlsimFadingConfig(
         mcs=26, n_rb=100, channel="EVA", n_rx=1, n_harq_rounds=1,
         batch=batch, est_mode="joint", n_turbo_iter=8))
