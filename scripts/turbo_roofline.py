@@ -116,6 +116,12 @@ def main():
     out["achieved_gbps"] = out[f"decode_{n_iter}iter_mbps"] / 1e3
     out["fraction_of_ceiling"] = out["achieved_gbps"] / \
         out["combined_ceiling_gbps"]
+    out["note"] = ("decode_*iter and per_iteration are trustworthy "
+                   "(pipelined full programs, same resident args); the "
+                   "standalone permute/half_iteration/crc timings are "
+                   "POLLUTED by per-call argument re-upload on the axon "
+                   "tunnel and overstate by ~5-10 ms - use the "
+                   "in-program ablation numbers in ROUND_NOTES instead")
 
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.dirname(
