@@ -224,22 +224,28 @@ class DlAir:
     def transmit_clean(self, subframe: int, pdsch=None, ul_grants=()):
         """Build one DL subframe -> CLEAN time-domain wave (no noise).
 
-        pdsch: None or (kind, rnti, tb_bytes) with kind 'common' (DCI 1C)
-        or 'ded' (DCI 1A). ul_grants: [(rnti, Alloc)] DCI format-0 UL
-        grants (several UEs may be granted disjoint PRBs in one TTI).
+        pdsch: None or (kind, rnti, tb_bytes[, alloc]) with kind 'common'
+        (DCI 1C) or 'ded' (DCI 1A); the optional 4th element overrides
+        the config's static allocation — LINK ADAPTATION (the scheduler
+        picks MCS from reported CQI; the UE needs no signalling beyond
+        the DCI it already blind-decodes). ul_grants: [(rnti, Alloc)]
+        DCI format-0 UL grants (several UEs may be granted disjoint
+        PRBs in one TTI).
         The broadcast wave is shared by every listening UE; each adds its
         own receiver noise (ue_demod) — the oaisim full-PHY semantic of
         coupling all eNB x UE pairs at sample level (channel_sim.c:81).
         """
         cfg = self.cfg
         alloc = (cfg.common if pdsch and pdsch[0] == "common" else cfg.ded)
+        if pdsch is not None and len(pdsch) > 3 and pdsch[3] is not None:
+            alloc = pdsch[3]
         enb = self.enb_tx(subframe, alloc)
         ns = 2 * subframe
         n_cce = enb.crm.n_cce
         dcis = []
         used: set = set()
         if pdsch is not None:
-            kind, rnti, data = pdsch
+            kind, rnti, data = pdsch[:3]
             if kind == "common":
                 payload = pack_dci_format1c(cfg.n_rb, alloc.rb_start,
                                             alloc.n_prb, mcs=alloc.mcs)

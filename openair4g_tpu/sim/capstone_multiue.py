@@ -127,6 +127,7 @@ class MultiUeSim:
             self.pf = PfScheduler(cfg.n_rb, max_ues_per_tti=1)
             self.mac_ctx = {}               # crnti -> UeContext
             self.dl_grants_by_ue = {}       # crnti -> count
+            self.dl_mcs_used = {}           # crnti -> set of MCS used
         self.msc = Msc()
         self.pcap = None
         self._artifact_dir = artifact_dir
@@ -279,12 +280,24 @@ class MultiUeSim:
             allocs = self.pf.schedule(ues_mac, self.tti)
             for a in allocs:
                 l2 = self.l2[a.rnti]
-                pdu = self._build_dl_mac_pdu(l2)
+                # LINK ADAPTATION: the PF allocation's MCS comes from
+                # the UE's reported (measured) CQI; keep the config's
+                # PRB placement, quantize to 4 MCS levels (each level
+                # is a separately-compiled codec graph — the quantized
+                # set bounds compile count without losing the
+                # adaptation behavior) and clamp to a robust floor
+                mcs_q = max(m for m in (4, 10, 16, 22)
+                            if m <= max(min(a.mcs, 27), 4))
+                la = Alloc(self.cfg.ded.rb_start, self.cfg.ded.n_prb,
+                           mcs_q)
+                pdu = self._build_dl_mac_pdu(l2, la)
                 if pdu is not None:
                     self._pcap_mac(pdu, DIR_DL, a.rnti)
-                    pdsch = ("ded", a.rnti, pdu)
+                    pdsch = ("ded", a.rnti, pdu, la)
                     self.dl_grants_by_ue[a.rnti] = \
                         self.dl_grants_by_ue.get(a.rnti, 0) + 1
+                    self.dl_mcs_used.setdefault(a.rnti, set()).add(
+                        la.mcs)
                     break
         if pdsch is None and self.scheduler != "pf":
             crntis = sorted(self.l2)
@@ -315,8 +328,9 @@ class MultiUeSim:
             self.l2[crnti].grant_tti = self.tti
         return pdsch, grants
 
-    def _build_dl_mac_pdu(self, l2: EnbUeCtx) -> bytes | None:
-        tbs = self.dl.codec(self.cfg.ded).cfg.tbs // 8
+    def _build_dl_mac_pdu(self, l2: EnbUeCtx,
+                          alloc: Alloc | None = None) -> bytes | None:
+        tbs = self.dl.codec(alloc or self.cfg.ded).cfg.tbs // 8
         subs = []
         budget = tbs - 8
         for st in l2.status_txq[:]:
@@ -721,6 +735,8 @@ class MultiUeSim:
             scheduler=self.scheduler,
             reported_cqis={f"{r:#x}": c.cqi
                            for r, c in getattr(self, "mac_ctx", {}).items()},
+            dl_mcs_used={f"{r:#x}": sorted(v) for r, v in
+                         getattr(self, "dl_mcs_used", {}).items()},
             dl_grants_by_ue=dict(getattr(self, "dl_grants_by_ue", {})),
             registered=[u.nas.state == UeEmmState.REGISTERED
                         for u in self.ues],

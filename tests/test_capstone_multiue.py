@@ -64,6 +64,12 @@ def test_four_ues_pf_scheduler_measured_cqi():
     # PF kept every UE served (fairness under symmetric demand)
     assert len(res["dl_grants_by_ue"]) == 4
     assert all(v >= 1 for v in res["dl_grants_by_ue"].values())
+    # link adaptation: the CQI reports drove MORE THAN ONE MCS level
+    # across the cell (weak UEs scheduled lower than strong ones)
+    all_mcs = set()
+    for v in res["dl_mcs_used"].values():
+        all_mcs.update(v)
+    assert len(all_mcs) >= 2, res["dl_mcs_used"]
 
 
 @pytest.mark.slow
