@@ -17,9 +17,10 @@ Architecture (TPU-first, not a translation):
     next-iteration-initialization-free sliding window of hardware decoders).
     The 8 trellis states ride the *leading* axis (full 128-lane VPU
     vectors), alpha and beta sweeps share one `lax.scan` with a 4-8-step
-    unrolled body, and the QPP (de)interleave is a one-hot MXU matmul — the
-    sequential critical path is (W+U)/R ≈ 16-32 loop iterations instead of
-    K+3 ≈ 6147.
+    unrolled body, and the QPP (de)interleave is a plain static gather or
+    a residue-factorized one-hot MXU matmul, chosen per K from on-chip
+    measurements (_permute) — the sequential critical path is
+    (W+U)/R ≈ 16-32 loop iterations instead of K+3 ≈ 6147.
   * Per-iteration hard decisions + CRC check (one MXU matmul, ops/crc.py)
     emulate the reference's CRC early stop: the first passing decision is
     latched per batch element (BLER-equivalent to stopping, without dynamic
